@@ -1,0 +1,159 @@
+"""Scalar compressors: identity, SignSGD, QSGD, probabilistic min/max scalar.
+
+Behavioral spec (math, not code) from the reference:
+  - IdenticalCompressor   — reference compressors/identical_compressor.py:1-11
+  - SignSGDCompressor     — reference compressors/signsgd_compressor.py:4-12
+  - QSGDCompressor        — reference compressors/qsgd_compressor.py:4-71
+  - ProbabilisticScalarCompressor —
+        reference compressors/probabilistic_scalar_compressor.py:4-33
+
+TernGrad is QSGD with n_bit=1 and a whole-tensor bucket (reference README.md:21-26).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gqx.compress.api import (
+    Compressor,
+    Sig,
+    code_dtype,
+    stochastic_increment,
+    subvector_dim,
+)
+
+
+class IdenticalCompressor(Compressor):
+    """No-op; also the passthrough for small (<=1000 element) leaves
+    (reference ps_quantizer.py:17-20)."""
+
+    stochastic = False
+
+    def compress(self, vec, key=None) -> Sig:
+        return {"vec": vec}
+
+    def decompress(self, sig) -> jax.Array:
+        return sig["vec"]
+
+    @property
+    def wire_bits(self) -> int:
+        return 32 * self.size
+
+
+class SignSGDCompressor(Compressor):
+    """sign(v) with 0 preserved; decompress = identity
+    (reference signsgd_compressor.py:8-12).  PS-mode averaging of signs across
+    users is then a majority vote with ties preserved."""
+
+    stochastic = False
+
+    def compress(self, vec, key=None) -> Sig:
+        return {"signs": jnp.sign(vec)}
+
+    def decompress(self, sig) -> jax.Array:
+        return sig["signs"]
+
+    @property
+    def wire_bits(self) -> int:
+        return self.size  # 1 bit/coordinate
+
+
+class ProbabilisticScalarCompressor(Compressor):
+    """Min/max-range stochastic scalar quantizer used for HSQ/PVQ per-subvector
+    norms (reference probabilistic_scalar_compressor.py:12-33).
+
+    compress: lower=min(v), upper=max(v); scaled = |(v-lower)/(upper-lower)|*s;
+    l = clamp(scaled, 0, s-1); stochastic round l += (scaled - l > U).
+    Degenerate range (upper == lower) yields l = 0, which decompresses to
+    ``lower`` exactly as the reference's early-out (its :15-16) does.
+    decompress: l * (upper-lower)/s + lower.
+    """
+
+    stochastic = True
+
+    def __init__(self, size: int, shape: Tuple[int, ...], n_bit: int, random: bool = True):
+        super().__init__(size, shape)
+        self.n_bit = int(n_bit)
+        self.s = 2 ** int(n_bit)
+        self.random = bool(random)
+
+    def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
+        lower = jnp.min(vec)
+        upper = jnp.max(vec)
+        span = upper - lower
+        scaled = jnp.where(
+            span == 0.0, 0.0, jnp.abs((vec - lower) / jnp.where(span == 0.0, 1.0, span)) * self.s
+        )
+        l = jnp.clip(scaled, 0, self.s - 1).astype(jnp.int32)
+        if self.random:
+            assert key is not None
+            l = l + stochastic_increment(scaled, l, key)
+        return {"lower": lower, "upper": upper, "l": l}
+
+    def decompress(self, sig) -> jax.Array:
+        span = sig["upper"] - sig["lower"]
+        return sig["l"].astype(jnp.float32) * span / self.s + sig["lower"]
+
+    @property
+    def wire_bits(self) -> int:
+        return 2 * 32 + self.n_bit * self.size
+
+
+class QSGDCompressor(Compressor):
+    """Bucketed stochastic scalar quantization (reference qsgd_compressor.py:42-71).
+
+    Per bucket of ``dim`` coordinates: norm = max|v| (the L2 variant is
+    commented out in the reference, its :48-49), normalize, scale by s=2^n_bit,
+    floor+clamp to [0, s-1], stochastic round, keep signs (v > 0).
+    decompress: l * (2*signs - 1) * norm / s.
+
+    A zero bucket (norm = 0) produces NaN in the reference; we define 0/0 -> 0
+    so all-zero gradients round-trip to zero.
+    """
+
+    stochastic = True
+
+    def __init__(
+        self,
+        size: int,
+        shape: Tuple[int, ...],
+        n_bit: int,
+        c_dim: int,
+        random: bool = True,
+    ):
+        super().__init__(size, shape)
+        self.n_bit = int(n_bit)
+        self.s = 2 ** int(n_bit)
+        self.random = bool(random)
+        self.dim = subvector_dim(size, c_dim)
+        self.M = size // self.dim
+
+    def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
+        rows = vec.reshape(-1, self.dim)
+        norm = jnp.max(jnp.abs(rows), axis=1, keepdims=True)
+        safe_norm = jnp.where(norm == 0.0, 1.0, norm)
+        scaled = jnp.abs(rows / safe_norm) * self.s
+        l = jnp.clip(scaled, 0, self.s - 1).astype(jnp.int32)
+        if self.random:
+            assert key is not None
+            l = l + stochastic_increment(scaled, l, key)
+        signs = rows > 0
+        return {
+            "norm": norm,
+            "signs": signs.reshape(self.shape),
+            "l": l.reshape(self.shape),
+        }
+
+    def decompress(self, sig) -> jax.Array:
+        signs = sig["signs"].astype(jnp.float32)
+        scaled = sig["l"].astype(jnp.float32) * (2.0 * signs - 1.0)
+        out = scaled.reshape(-1, self.dim) * sig["norm"] / self.s
+        return out.reshape(self.shape)
+
+    @property
+    def wire_bits(self) -> int:
+        # 1 sign + n_bit level per coordinate + a 32-bit norm per bucket.
+        return self.size * (1 + self.n_bit) + 32 * self.M

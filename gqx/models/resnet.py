@@ -1,0 +1,97 @@
+"""CIFAR-style ResNet-18/34/50/101/152.
+
+Shape spec from the reference (reference models/resnet.py:11-115): 3x3 stem,
+stride 1, NO maxpool (this is the CIFAR variant, not torchvision's ImageNet
+ResNet — SURVEY.md §2.6 flags this as a fidelity requirement), channel plan
+64/128/256/512 with strides 1/2/2/2, BasicBlock (expansion 1) for 18/34 and
+Bottleneck (expansion 4) for 50/101/152, a 4x4 average pool before the fc.
+All convs bias-free; shortcuts are 1x1 conv + BN when shape changes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Type
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gqx.models.common import BatchNorm, TorchConv, TorchDense, avg_pool
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = TorchConv(self.filters, (3, 3), strides=(self.stride, self.stride))(x)
+        out = BatchNorm()(out, train)
+        out = jnp.maximum(out, 0.0)
+        out = TorchConv(self.filters, (3, 3))(out)
+        out = BatchNorm()(out, train)
+
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            x = TorchConv(self.filters, (1, 1), strides=(self.stride, self.stride))(x)
+            x = BatchNorm()(x, train)
+        return jnp.maximum(out + x, 0.0)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        width = self.filters
+        out_ch = self.filters * self.expansion
+        out = TorchConv(width, (1, 1))(x)
+        out = jnp.maximum(BatchNorm()(out, train), 0.0)
+        out = TorchConv(width, (3, 3), strides=(self.stride, self.stride))(out)
+        out = jnp.maximum(BatchNorm()(out, train), 0.0)
+        out = TorchConv(out_ch, (1, 1))(out)
+        out = BatchNorm()(out, train)
+
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            x = TorchConv(out_ch, (1, 1), strides=(self.stride, self.stride))(x)
+            x = BatchNorm()(x, train)
+        return jnp.maximum(out + x, 0.0)
+
+
+class ResNet(nn.Module):
+    block: Type[nn.Module]
+    stage_sizes: Sequence[int]
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = TorchConv(64, (3, 3))(x)
+        x = jnp.maximum(BatchNorm()(x, train), 0.0)
+        for i, (filters, blocks) in enumerate(zip((64, 128, 256, 512), self.stage_sizes)):
+            for j in range(blocks):
+                stride = (1 if i == 0 else 2) if j == 0 else 1
+                x = self.block(filters=filters, stride=stride)(x, train)
+        x = avg_pool(x, 4)
+        x = x.reshape(x.shape[0], -1)
+        return TorchDense(self.num_classes)(x)
+
+
+def ResNet18(num_classes=10):
+    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes)
+
+
+def ResNet34(num_classes=10):
+    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes)
+
+
+def ResNet50(num_classes=10):
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes)
+
+
+def ResNet101(num_classes=10):
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes)
+
+
+def ResNet152(num_classes=10):
+    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes)

@@ -1,0 +1,299 @@
+"""Real-mesh quantized collectives over a ``users`` axis (shard_map + XLA
+collectives).
+
+This is the component the reference *lacks* (SURVEY.md §2.10 — its
+"communication" is in-process list appends): here the users axis is a
+``jax.sharding.Mesh`` axis; each device hosts ``num_users / n_devices``
+local users and the aggregation becomes real collectives:
+
+  - PS mode, wire='logical': per-user encode→decode locally, then
+    ``lax.pmean`` of the decompressed gradients (semantics identical to the
+    reference server mean, ps_quantizer.py:48; the collective carries fp32).
+  - PS mode, wire='packed': the *bit-packed* payloads (gqx.ops.wire) are
+    ``lax.all_gather``-ed across the users axis and every device decodes all
+    users' payloads and means them — bytes-on-wire are physically the packed
+    encodings.  Mathematically identical to 'logical' up to fp reduction
+    order.
+  - Ring mode: the chain of reference ring_quantizer.py:25-47 — local users
+    chain by ``lax.scan``, devices chain by D sequential masked
+    ``lax.ppermute`` hops, then the final (sum) value is broadcast.  This is
+    the chain-faithful parity mode; it is latency-bound by construction,
+    exactly like the algorithm it implements.
+
+Two-phase downlink recompression runs replicated (same PRNG key on every
+device), so the server-side EF state stays consistent across the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gqx.parallel.aggregate import AggState, _user_roundtrip
+from gqx.train import TrainState, cross_entropy
+
+PyTree = Any
+
+
+def make_user_mesh(num_users: int, axis: str = "users") -> Tuple[Mesh, int]:
+    """1-D mesh over all devices; num_users must be a multiple of the device
+    count.  Returns (mesh, local_users_per_device)."""
+    devices = np.asarray(jax.devices())
+    n = len(devices)
+    if num_users % n != 0:
+        # use the largest divisor of num_users that fits
+        while n > 1 and num_users % n != 0:
+            n -= 1
+        devices = devices[:n]
+    mesh = Mesh(devices, (axis,))
+    return mesh, num_users // n
+
+
+# --------------------------------------------------------------------------
+# per-leaf aggregation bodies (run INSIDE shard_map)
+# --------------------------------------------------------------------------
+
+def _ps_leaf_logical(comp, g_local, e_local, scale, keys, axis):
+    """g_local: (U_local, *shape). Returns (global_mean, new_e_local)."""
+    if e_local is not None:
+        dec, e_new = jax.vmap(
+            lambda g, e, k: _user_roundtrip(comp, g, e, scale, k)
+        )(g_local, e_local, keys)
+    else:
+        dec, e_new = jax.vmap(
+            lambda g, k: _user_roundtrip(comp, g, None, scale, k)
+        )(g_local, keys)
+    local_mean = jnp.mean(dec, axis=0)
+    return jax.lax.pmean(local_mean, axis), e_new
+
+
+def _ps_leaf_packed(comp, g_local, e_local, scale, keys, axis):
+    """Wire-true PS: all-gather packed payloads, decode all users, mean."""
+    from gqx.ops.wire import pack_signature, unpack_signature
+
+    def encode(g, e, k):
+        if e is not None:
+            g = g + scale * e
+        sig = comp.compress(g, k)
+        dec = comp.decompress(sig)
+        e_new = (g - dec) if e is not None else None
+        return pack_signature(comp, sig), e_new
+
+    if e_local is not None:
+        wire, e_new = jax.vmap(encode)(g_local, e_local, keys)
+    else:
+        wire, e_new = jax.vmap(lambda g, k: encode(g, None, k))(g_local, keys)
+
+    # all-gather every wire field: (U_local, W) -> (D, U_local, W) -> (U, W)
+    gathered = jax.tree.map(
+        lambda w: jax.lax.all_gather(w, axis).reshape((-1,) + w.shape[1:]), wire
+    )
+    dec_all = jax.vmap(lambda wu: comp.decompress(unpack_signature(comp, wu)))(gathered)
+    return jnp.mean(dec_all, axis=0), e_new
+
+
+def _two_phase_leaf(comp, mean, server_e, scale, server_key):
+    """Replicated downlink recompression (reference ps_quantizer.py:52-61)."""
+    if server_e is not None:
+        mean = mean + server_e
+        dec = comp.roundtrip(mean, server_key)
+        return dec, mean - dec
+    return comp.roundtrip(mean, server_key), None
+
+
+def _ring_leaf(comp, g_local, e_local, scale, keys, axis, n_dev):
+    """Chain over all users: local scan, then D sequential ppermute hops.
+
+    Device d's local chain starts from the partial received from device d-1;
+    the final value (on the last device) is broadcast.  Output is the
+    quantized SUM (reference ring_quantizer.py:45-47)."""
+    my = jax.lax.axis_index(axis)
+
+    def local_chain(partial_in, use_carry):
+        def hop(carry, inp):
+            if e_local is not None:
+                g_u, k_u, idx, e_u = inp
+            else:
+                g_u, k_u, idx = inp
+                e_u = None
+            first_global = jnp.logical_and(idx == 0, jnp.logical_not(use_carry))
+            g_acc = jnp.where(first_global, g_u, g_u + carry)
+            dec, e_new = _user_roundtrip(comp, g_acc, e_u, scale, k_u)
+            return dec, e_new
+
+        idxs = jnp.arange(g_local.shape[0])
+        xs = (g_local, keys, idxs) + ((e_local,) if e_local is not None else ())
+        return jax.lax.scan(hop, partial_in, xs)
+
+    zero = jnp.zeros(g_local.shape[1:], g_local.dtype)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    carry = zero
+    e_final = None
+    for d in range(n_dev):
+        received = jax.lax.ppermute(carry, axis, perm) if d > 0 else zero
+        out, e_new = local_chain(received, use_carry=jnp.asarray(d > 0))
+        active = my == d
+        carry = jnp.where(active, out, received)
+        if e_local is not None:
+            e_final = e_new if e_final is None else jax.tree.map(
+                lambda new, old: jnp.where(active, new, old), e_new, e_final
+            )
+
+    # broadcast the last device's value (lossless broadcast phase)
+    final = jax.lax.psum(jnp.where(my == n_dev - 1, carry, jnp.zeros_like(carry)), axis)
+    return final, e_final
+
+
+# --------------------------------------------------------------------------
+# the mesh training step
+# --------------------------------------------------------------------------
+
+def make_mesh_train_step(config, model, compressors, tx, state: TrainState):
+    """Build a pjit-ted training step over the users mesh.
+
+    Returns (train_step, resharded_state).  EF state is sharded over the
+    users axis; params/opt_state/server-EF are replicated.
+    """
+    axis = config.mesh_axis
+    mesh, local_users = make_user_mesh(config.num_users, axis)
+    n_dev = mesh.devices.size
+    packed = config.wire == "packed"
+
+    comp_leaves_template = state.params  # treedef reference
+
+    def user_grads(params, batch_stats, x, y):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(
+                variables, x, train=True,
+                mutable=["batch_stats"] if batch_stats else [],
+            )
+            if batch_stats:
+                logits, mutated = out
+                new_stats = mutated["batch_stats"]
+            else:
+                logits, new_stats = (out[0] if isinstance(out, tuple) else out), batch_stats
+            return cross_entropy(logits, y), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, new_stats
+
+    def sharded_body(params, batch_stats, opt_state, agg_state, x, y, scale, lr, key):
+        # x: (U_local, B, ...) on this device
+        losses, grads, new_stats = jax.vmap(
+            lambda xu, yu: user_grads(params, batch_stats, xu, yu)
+        )(x, y)
+
+        leaves, treedef = jax.tree.flatten(grads)
+        comp_leaves = treedef.flatten_up_to(compressors)
+        ef_on = agg_state.ef is not None
+        ef_leaves = treedef.flatten_up_to(agg_state.ef) if ef_on else [None] * len(leaves)
+        server_on = agg_state.server_ef is not None
+        server_leaves = (
+            treedef.flatten_up_to(agg_state.server_ef) if server_on else [None] * len(leaves)
+        )
+
+        my = jax.lax.axis_index(axis)
+        agg_out, ef_out, server_out = [], [], []
+        for li, (comp, g, e) in enumerate(zip(comp_leaves, leaves, ef_leaves)):
+            leaf_key = jax.random.fold_in(key, li)
+            user_keys = jax.vmap(
+                lambda u: jax.random.fold_in(jax.random.fold_in(leaf_key, 1), u)
+            )(my * local_users + jnp.arange(local_users))
+            server_key = jax.random.fold_in(leaf_key, 2)  # same on all devices
+
+            if config.mode == "ring":
+                mean, e_new = _ring_leaf(comp, g, e, scale, user_keys, axis, n_dev)
+            elif packed:
+                mean, e_new = _ps_leaf_packed(comp, g, e, scale, user_keys, axis)
+            else:
+                mean, e_new = _ps_leaf_logical(comp, g, e, scale, user_keys, axis)
+
+            if config.mode == "ps" and config.two_phase:
+                mean, se_new = _two_phase_leaf(comp, mean, server_leaves[li], scale, server_key)
+                if server_on:
+                    server_out.append(se_new)
+            elif server_on:
+                server_out.append(server_leaves[li])
+
+            agg_out.append(mean)
+            if ef_on:
+                ef_out.append(e_new)
+
+        agg_grads = jax.tree.unflatten(treedef, agg_out)
+        new_agg_state = AggState(
+            ef=jax.tree.unflatten(treedef, ef_out) if ef_on else None,
+            server_ef=jax.tree.unflatten(treedef, server_out) if server_on else None,
+        )
+
+        updates, new_opt_state = tx.update(agg_grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        local_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
+        new_batch_stats = jax.tree.map(lambda s: jax.lax.pmean(s, axis), local_stats)
+        mean_loss = jax.lax.pmean(jnp.mean(losses), axis)
+        return new_params, new_batch_stats, new_opt_state, new_agg_state, mean_loss
+
+    replicated = P()
+    users_first = P(axis)
+
+    ef_spec = jax.tree.map(lambda _: users_first, state.agg_state.ef) if state.agg_state.ef is not None else None
+    server_spec = (
+        jax.tree.map(lambda _: replicated, state.agg_state.server_ef)
+        if state.agg_state.server_ef is not None
+        else None
+    )
+    agg_spec = AggState(ef=ef_spec, server_ef=server_spec)
+
+    params_spec = jax.tree.map(lambda _: replicated, state.params)
+    stats_spec = jax.tree.map(lambda _: replicated, state.batch_stats)
+    opt_spec = jax.tree.map(lambda _: replicated, state.opt_state)
+
+    body = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(
+            params_spec, stats_spec, opt_spec, agg_spec,
+            users_first, users_first, replicated, replicated, replicated,
+        ),
+        out_specs=(params_spec, stats_spec, opt_spec, agg_spec, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, x, y, scale, lr, key):
+        params, batch_stats, opt_state, agg_state, loss = body(
+            state.params, state.batch_stats, state.opt_state, state.agg_state,
+            x, y, scale, lr, key,
+        )
+        return (
+            TrainState(params, batch_stats, opt_state, agg_state, state.step + 1),
+            loss,
+        )
+
+    # reshard state onto the mesh
+    def shard_tree(tree, spec_tree):
+        return jax.tree.map(
+            lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), tree, spec_tree
+        )
+
+    state = TrainState(
+        params=shard_tree(state.params, params_spec),
+        batch_stats=shard_tree(state.batch_stats, stats_spec),
+        opt_state=shard_tree(state.opt_state, opt_spec),
+        agg_state=AggState(
+            ef=shard_tree(state.agg_state.ef, ef_spec) if ef_spec is not None else None,
+            server_ef=shard_tree(state.agg_state.server_ef, server_spec)
+            if server_spec is not None
+            else None,
+        ),
+        step=state.step,
+    )
+    return train_step, state

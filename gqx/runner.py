@@ -1,0 +1,104 @@
+"""End-to-end training loop (the reference's ``main`` + ``train`` drivers,
+reference main.py:79-213, re-designed around a single jitted step).
+
+Log cadence parity: evaluate ``log_epoch`` times per epoch and emit ``loss`` /
+``accuracy(%)`` at global step iteration*(epoch-1)+batch_idx
+(reference main.py:183,197-211).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gqx.config import GQConfig, lr_at_epoch, resolve_schedule
+from gqx.data import Pipeline
+from gqx.metrics import MetricLogger
+from gqx.models import create_model
+from gqx.train import create_train_state, evaluate, make_eval_step, make_train_step
+
+
+def run_training(
+    config: GQConfig,
+    epochs_override: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    progress: bool = True,
+):
+    """Train per the reference schedules; returns (state, final_accuracy)."""
+    from gqx.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    epochs, base_lr, boundaries, lrs, _, _ = resolve_schedule(config)
+    if epochs_override is not None:
+        epochs = epochs_override
+
+    pipeline = Pipeline(config)
+    model = create_model(config.network, config.num_classes)
+
+    sample = jnp.zeros((config.batch_size,) + pipeline.image_shape, jnp.float32)
+    init_key = jax.random.PRNGKey(config.seed)
+
+    if config.use_pallas is None:
+        config.use_pallas = jax.default_backend() == "tpu"
+
+    state, compressors, tx = create_train_state(config, model, sample, init_key)
+
+    if config.backend == "mesh":
+        from gqx.parallel.collectives import make_mesh_train_step
+
+        train_step, state = make_mesh_train_step(config, model, compressors, tx, state)
+    else:
+        train_step = make_train_step(config, model, compressors, tx)
+    eval_step = make_eval_step(model)
+
+    logger = MetricLogger(config.logdir)
+    step_key = jax.random.PRNGKey(config.seed + 17)
+
+    iteration = pipeline.steps_per_epoch
+    accuracy = 0.0
+    total_steps = 0
+    t_start = time.time()
+
+    for epoch in range(1, epochs + 1):
+        lr = jnp.float32(lr_at_epoch(epoch, base_lr, boundaries, lrs))
+        scale = jnp.float32(config.ef_scale(epoch))
+        log_points = {
+            iteration // config.log_epoch * (i + 1) for i in range(config.log_epoch)
+        }
+        for batch_idx, (x, y) in enumerate(pipeline.train_epoch(epoch)):
+            step_key, k = jax.random.split(step_key)
+            state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), scale, lr, k)
+            total_steps += 1
+            if (batch_idx + 1) in log_points:
+                test_loss, accuracy = evaluate(
+                    eval_step, state,
+                    pipeline.test_batches(limit=config.eval_batch_count),
+                )
+                step = iteration * (epoch - 1) + batch_idx
+                logger.scalars(
+                    {"loss": float(loss), "accuracy(%)": accuracy * 100.0}, step
+                )
+                if progress:
+                    print(
+                        f"Train Epoch: {epoch} [{(batch_idx+1)*config.batch_size*config.num_users}/"
+                        f"{pipeline.steps_per_epoch*config.batch_size*config.num_users}]\t"
+                        f"Loss: {float(loss):.6f}\t Test Accuracy: {accuracy*100:.2f}%"
+                    )
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        if max_steps is not None and total_steps >= max_steps:
+            break
+
+    if progress:
+        dt = time.time() - t_start
+        print(f"done: {total_steps} steps in {dt:.1f}s ({total_steps/max(dt,1e-9):.2f} steps/s)")
+    if config.save_model and config.logdir:
+        from gqx.checkpoint import save_checkpoint
+
+        save_checkpoint(config.logdir, state, step=total_steps)
+    logger.close()
+    return state, accuracy

@@ -1,0 +1,141 @@
+"""Training driver: jitted multi-user step + eval.
+
+Reference behavior being re-designed (SURVEY.md §2.2, §3.2): ``one_iter``
+(reference main.py:216-233) runs per-user forward/backward sequentially on
+micro-batches, records quantized gradients, applies the aggregator, then
+``optimizer.step()``.  Here the users axis is a ``vmap`` (single chip) or a
+mesh axis (gqx.parallel.collectives); everything — per-user grads, EF,
+compression, aggregation, SGD update — is one fused jit.
+
+Optimizer parity: torch ``optim.SGD(lr, momentum, weight_decay)``
+(reference main.py:133-134) ==
+``add_decayed_weights(wd) → trace(momentum) → scale(-lr)``; the quantizer
+modifies gradients *before* the optimizer sees them, so weight decay and
+momentum act on the aggregated decompressed gradient, exactly like the
+reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gqx.compress import build_leaf_compressors
+from gqx.parallel.aggregate import AggState, init_state, make_aggregator
+
+PyTree = Any
+
+
+class TrainState(NamedTuple):
+    params: PyTree
+    batch_stats: PyTree
+    opt_state: PyTree
+    agg_state: AggState
+    step: jax.Array
+
+
+def create_train_state(config, model, sample_input, key) -> Tuple[TrainState, PyTree, Any]:
+    """Initialize params/batch_stats/optimizer/EF state and per-leaf
+    compressors.  Returns (state, compressors, tx)."""
+    variables = model.init(key, sample_input, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    from gqx.config import resolve_schedule
+
+    _, _, _, _, momentum, weight_decay = resolve_schedule(config)
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+    )
+    opt_state = tx.init(params)
+    agg_state = init_state(params, config.num_users, config.ef, config.two_phase)
+    compressors = build_leaf_compressors(params, config)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        agg_state=agg_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, compressors, tx
+
+
+def cross_entropy(logits, labels):
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+
+
+def make_train_step(config, model, compressors, tx) -> Callable:
+    """Build the jitted step: (state, x (U,B,H,W,C), y (U,B), scale, lr, key)
+    -> (state, mean_loss)."""
+    aggregator = make_aggregator(config, compressors)
+    has_bn = True  # models without BN just carry an empty dict
+
+    def user_grads(params, batch_stats, x, y):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, x, train=True, mutable=["batch_stats"] if batch_stats else [])
+            if batch_stats:
+                logits, mutated = out
+                new_stats = mutated["batch_stats"]
+            else:
+                logits, new_stats = (out[0] if isinstance(out, tuple) else out), batch_stats
+            return cross_entropy(logits, y), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, new_stats
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x, y, scale, lr, key):
+        # per-user forward/backward over the users axis
+        losses, grads, new_stats = jax.vmap(
+            lambda xu, yu: user_grads(state.params, state.batch_stats, xu, yu)
+        )(x, y)
+
+        agg_grads, agg_state = aggregator(grads, state.agg_state, scale, key)
+
+        updates, opt_state = tx.update(agg_grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+
+        # the reference's sequential per-user BN updates collapse to averaging
+        # the per-user running stats (simulation detail, SURVEY.md §2.2)
+        batch_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
+
+        return (
+            TrainState(params, batch_stats, opt_state, agg_state, state.step + 1),
+            jnp.mean(losses),
+        )
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def eval_step(params, batch_stats, x, y):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(variables, x, train=False)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        correct = jnp.sum(jnp.argmax(logits, axis=-1) == y)
+        return jnp.sum(loss), correct
+
+    return eval_step
+
+
+def evaluate(eval_step, state: TrainState, batches) -> Tuple[float, float]:
+    """Full test-set eval (reference main.py:236-255): returns
+    (mean_loss, accuracy)."""
+    total_loss, total_correct, total_n = 0.0, 0, 0
+    for x, y in batches:
+        loss, correct = eval_step(state.params, state.batch_stats, x, y)
+        total_loss += float(loss)
+        total_correct += int(correct)
+        total_n += len(y)
+    return total_loss / max(total_n, 1), total_correct / max(total_n, 1)

@@ -1,0 +1,51 @@
+"""fvecs/ivecs codebook file IO.
+
+The on-disk format (shared with the reference's codebook data,
+reference utils/vecs_io.py:5-52): each row is a little-endian ``int32``
+dimension header followed by ``dim`` payload elements (float32 for fvecs,
+int32 for ivecs).  Implemented as single-shot numpy buffer reshapes — no
+per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ivecs_read(path) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.int32)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.int32)
+    dim = int(raw[0])
+    return np.ascontiguousarray(raw.reshape(-1, dim + 1)[:, 1:])
+
+
+def fvecs_read(path) -> np.ndarray:
+    return ivecs_read(path).view(np.float32)
+
+
+def fvecs_write(path, vecs: np.ndarray) -> None:
+    vecs = np.ascontiguousarray(np.asarray(vecs, dtype=np.float32))
+    n, dim = vecs.shape
+    buf = np.empty((n, dim + 1), dtype=np.int32)
+    buf[:, 0] = dim
+    buf[:, 1:] = vecs.view(np.int32)
+    buf.tofile(path)
+
+
+def ivecs_write(path, vecs: np.ndarray) -> None:
+    vecs = np.ascontiguousarray(np.asarray(vecs, dtype=np.int32))
+    n, dim = vecs.shape
+    buf = np.empty((n, dim + 1), dtype=np.int32)
+    buf[:, 0] = dim
+    buf[:, 1:] = vecs
+    buf.tofile(path)
+
+
+def normalize_rows(vecs: np.ndarray):
+    """L2-normalize rows with a divide-by-zero guard; returns (norms, unit_rows)
+    (behavioral spec: reference utils/vec_np.py:4-10)."""
+    vecs = np.asarray(vecs)
+    norms = np.linalg.norm(vecs, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    return norms, (vecs / safe[:, None]).astype(vecs.dtype)

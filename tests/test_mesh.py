@@ -1,0 +1,88 @@
+"""Simulated-users vs real-mesh parity (SURVEY.md §4 (b)): on the 8-virtual-
+device CPU mesh, the shard_map collectives must produce the same training
+trajectory as the vmap/scan simulation for deterministic compressors, in
+every mode (ps logical / ps packed / ring / two-phase / EF)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gqx.config import GQConfig
+from gqx.data import Pipeline
+from gqx.models import create_model
+from gqx.parallel.collectives import make_mesh_train_step, make_user_mesh
+from gqx.train import create_train_state, make_train_step
+
+
+def run_steps(cfg, n_steps=2):
+    pipeline = Pipeline(cfg)
+    model = create_model(cfg.network, cfg.num_classes)
+    sample = jnp.zeros((cfg.batch_size,) + pipeline.image_shape, jnp.float32)
+    state, comps, tx = create_train_state(cfg, model, sample, jax.random.PRNGKey(0))
+    if cfg.backend == "mesh":
+        step_fn, state = make_mesh_train_step(cfg, model, comps, tx, state)
+    else:
+        step_fn = make_train_step(cfg, model, comps, tx)
+    losses = []
+    it = pipeline.train_epoch(1)
+    for i in range(n_steps):
+        x, y = next(it)
+        state, loss = step_fn(
+            state, jnp.asarray(x), jnp.asarray(y), jnp.float32(1.0),
+            jnp.float32(0.05), jax.random.PRNGKey(100 + i),
+        )
+        losses.append(float(loss))
+    return jax.device_get(state), losses
+
+
+def base_cfg(**kw):
+    d = dict(
+        network="fcn", dataset="synthetic", quantizer="qsgd", mode="ps",
+        c_dim=128, n_bit=4, random=False, num_users=8, batch_size=8,
+        test_batch_size=64, seed=5,
+    )
+    d.update(kw)
+    return GQConfig(**d)
+
+
+def assert_trees_close(a, b, rtol=2e-4, atol=2e-5):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("mode,wire,ef,two_phase", [
+    ("ps", "logical", False, False),
+    ("ps", "packed", False, False),
+    ("ps", "logical", True, False),
+    ("ps", "logical", True, True),
+    ("ring", "logical", False, False),
+    ("ring", "logical", True, False),
+])
+def test_mesh_matches_sim(mode, wire, ef, two_phase):
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    cfg_sim = base_cfg(mode=mode, ef=ef, two_phase=two_phase, backend="sim")
+    cfg_mesh = base_cfg(mode=mode, ef=ef, two_phase=two_phase, backend="mesh", wire=wire)
+    state_sim, losses_sim = run_steps(cfg_sim)
+    state_mesh, losses_mesh = run_steps(cfg_mesh)
+    np.testing.assert_allclose(losses_sim, losses_mesh, rtol=1e-4)
+    assert_trees_close(state_sim.params, state_mesh.params)
+    if ef:
+        assert_trees_close(state_sim.agg_state.ef, state_mesh.agg_state.ef)
+
+
+def test_mesh_stochastic_runs_finite():
+    cfg = base_cfg(quantizer="hsq", c_dim=16, k_bit=6, n_bit=6, random=True,
+                   ef=True, backend="mesh", wire="packed")
+    state, losses = run_steps(cfg)
+    assert all(np.isfinite(losses))
+    for leaf in jax.tree.leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_mesh_fewer_users_than_requested_divisor():
+    mesh, local = make_user_mesh(12)  # 8 devices, 12 users -> 6 devices x 2? 4x3
+    assert 12 % mesh.devices.size == 0
+    assert local == 12 // mesh.devices.size

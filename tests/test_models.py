@@ -1,0 +1,58 @@
+"""Model-zoo tests: forward shapes and exact parameter-count parity with the
+reference architectures (counts measured from the reference torch models;
+SURVEY.md §2.6 calls out CIFAR-ResNet fidelity as convergence-critical)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gqx.models import create_model
+
+# (network, input shape NHWC, total trainable params in the reference torch model)
+CASES = [
+    ("fcn", (2, 28, 28, 1), 203530),
+    ("cnn", (2, 28, 28, 1), 431080),
+    ("resnet18", (2, 32, 32, 3), 11173962),
+    ("resnet34", (2, 32, 32, 3), 21282122),
+    ("resnet50", (2, 32, 32, 3), 23520842),
+    ("vgg11", (2, 32, 32, 3), 9231114),
+    ("vgg16", (2, 32, 32, 3), 14728266),
+    ("dense", (2, 32, 32, 3), 1000618),
+]
+
+
+def param_count(params):
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+@pytest.mark.parametrize("name,shape,want_params", CASES)
+def test_forward_shape_and_param_count(name, shape, want_params):
+    model = create_model(name, num_classes=10)
+    x = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (shape[0], 10)
+    assert param_count(variables["params"]) == want_params
+
+
+def test_batchnorm_stats_update():
+    model = create_model("resnet18", num_classes=10)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    assert "batch_stats" in variables
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    # running stats must actually move
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_big_models_construct():
+    for name in ("resnet101", "resnet152", "vgg13", "vgg19"):
+        model = create_model(name, num_classes=100)
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, train=False))
+        assert "params" in variables

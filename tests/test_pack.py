@@ -1,0 +1,110 @@
+"""Wire-format tests: bit-exact pack/unpack inverses, byte accounting, and
+compression-ratio verification against the SURVEY.md §6 logical table."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gqx.compress import make_compressor
+from gqx.config import GQConfig
+from gqx.ops.pack import (
+    pack_bits,
+    pack_uint,
+    packed_words,
+    unpack_bits,
+    unpack_uint,
+)
+from gqx.ops.wire import pack_signature, unpack_signature, wire_bytes
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4, 6, 8, 12, 16, 32])
+def test_pack_unpack_roundtrip(bits, rng):
+    n = 1000
+    vals = jnp.asarray(rng.integers(0, 2 ** min(bits, 31), size=n), jnp.uint32)
+    words = pack_uint(vals, bits)
+    assert words.dtype == jnp.uint32
+    assert words.shape[0] == packed_words(n, bits)
+    back = unpack_uint(words, bits, n)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+def test_pack_bits_matches_aligned(rng):
+    vals = jnp.asarray(rng.integers(0, 16, size=256), jnp.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(pack_bits(vals, 4)), np.asarray(pack_uint(vals, 4))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_bits(pack_bits(vals, 4), 4, 256)), np.asarray(vals)
+    )
+
+
+NAMES = ("sgd", "sign", "qsgd", "hsq", "pvq", "residual", "topk", "maurey")
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_signature_wire_roundtrip_bit_exact(name, rng):
+    cfg = GQConfig(quantizer=name, c_dim=16, k_bit=6, n_bit=6, cr=64, dataset="synthetic")
+    v = jnp.asarray(rng.standard_normal((2048,)), jnp.float32)
+    comp = make_compressor(name, v.size, v.shape, cfg)
+    sig = comp.compress(v, jax.random.PRNGKey(0))
+    wire = pack_signature(comp, sig)
+    for k, w in wire.items():
+        assert w.dtype == jnp.uint32, k
+    back = unpack_signature(comp, wire)
+    # decompressing the unpacked signature must be bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(comp.decompress(sig)), np.asarray(comp.decompress(back))
+    )
+    # byte accounting matches the actual packed arrays
+    actual_bytes = sum(4 * w.size for w in wire.values())
+    assert actual_bytes == wire_bytes(comp)
+
+
+def test_hsq_wire_ratio():
+    # Logical (SURVEY.md §6): (8 + 6)/16 = 0.875 b/coord ~= 36.6x.
+    # Physical: stochastic rounding makes the 6-bit norm level reach 2^6, so
+    # the lossless wire uses 7 bits -> (8+7)/16 b/coord ~= 34.1x.
+    cfg = GQConfig(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, dataset="synthetic")
+    size = 1 << 20
+    comp = make_compressor("hsq", size, (size,), cfg)
+    assert comp.wire_bits / size == pytest.approx(0.875 + 2 * 32 / size, rel=0.01)
+    ratio = (4 * size) / wire_bytes(comp)
+    assert 33.5 < ratio < 34.5, ratio
+    # deterministic rounding keeps the logical 6-bit width exactly
+    cfg_det = GQConfig(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, random=False,
+                       dataset="synthetic")
+    comp_det = make_compressor("hsq", size, (size,), cfg_det)
+    ratio_det = (4 * size) / wire_bytes(comp_det)
+    assert 36.0 < ratio_det < 37.0, ratio_det
+
+
+def test_qsgd_wire_ratio():
+    # Logical: 1 + 2 + 32/128 = 3.25 b/coord ~= 9.8x; physical with the
+    # stochastic-rounding overflow bit: 4.25 b/coord ~= 7.5x.
+    cfg = GQConfig(quantizer="qsgd", c_dim=128, n_bit=2, dataset="synthetic")
+    size = 1 << 20
+    comp = make_compressor("qsgd", size, (size,), cfg)
+    ratio = (4 * size) / wire_bytes(comp)
+    assert 7.3 < ratio < 7.7, ratio
+    cfg_det = GQConfig(quantizer="qsgd", c_dim=128, n_bit=2, random=False,
+                       dataset="synthetic")
+    comp_det = make_compressor("qsgd", size, (size,), cfg_det)
+    ratio_det = (4 * size) / wire_bytes(comp_det)
+    assert 9.5 < ratio_det < 10.0, ratio_det
+
+
+def test_pack_is_jittable(rng):
+    cfg = GQConfig(quantizer="qsgd", c_dim=128, n_bit=2, dataset="synthetic")
+    v = jnp.asarray(rng.standard_normal((4096,)), jnp.float32)
+    comp = make_compressor("qsgd", v.size, v.shape, cfg)
+
+    @jax.jit
+    def roundtrip_wire(vec, key):
+        sig = comp.compress(vec, key)
+        wire = pack_signature(comp, sig)
+        return comp.decompress(unpack_signature(comp, wire))
+
+    out = roundtrip_wire(v, jax.random.PRNGKey(1))
+    ref = comp.decompress(comp.compress(v, jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -111,10 +111,14 @@ class HSQCompressor(Compressor):
             u = self.norm_compressor.decompress(sig["u"])
         else:
             u = sig["u"]
-        # one-hot @ codebook rides the MXU; scaling fuses into the matmul
-        # epilogue. (For K <= 1024 this beats a gather on TPU.)
-        onehot = jax.nn.one_hot(codes, self.K, dtype=jnp.float32) * u[:, None]
-        rows = jnp.dot(onehot, self.codewords, preferred_element_type=jnp.float32)
+        if self.use_pallas:
+            from gqx.ops.pallas_hsq import hsq_decode
+
+            rows = hsq_decode(codes, u, self.codewords)
+        else:
+            from gqx.ops.pallas_hsq import hsq_decode_xla
+
+            rows = hsq_decode_xla(codes, u, self.codewords)
         return rows.reshape(self.shape)
 
     @property
@@ -210,9 +214,9 @@ class ProbabilisticVectorCompressor(Compressor):
             u = self.norm_compressor.decompress(sig["u"])
         else:
             u = sig["u"]
-        onehot = jax.nn.one_hot(codes, self.K, dtype=jnp.float32) * u[:, None]
-        rows = jnp.dot(onehot, self.codewords, preferred_element_type=jnp.float32)
-        return rows.reshape(self.shape)
+        from gqx.ops.pallas_hsq import hsq_decode_xla
+
+        return hsq_decode_xla(codes, u, self.codewords).reshape(self.shape)
 
     @property
     def wire_bits(self) -> int:

@@ -79,6 +79,9 @@ class GQConfig:
     compute_dtype: str = "float32"    # model compute dtype ('bfloat16' on TPU is faster)
     passthrough_threshold: int = 1000 # leaves <= this many elements are never
                                       # compressed (reference ps_quantizer.py:17-20)
+    grouping: str = "auto"            # 'auto': pack same-config leaves into one
+                                      # compression unit (fewer/larger kernels);
+                                      # 'none': strict per-layer parity
     codebook_dir: Optional[str] = None
     data_dir: str = "./data"
     use_pallas: Optional[bool] = None # None = auto (TPU only)

@@ -88,8 +88,62 @@ def hsq_encode(rows: jax.Array, codewords: jax.Array, tile_m: int = DEFAULT_TILE
 
 
 def hsq_decode_xla(codes: jax.Array, u: jax.Array, codewords: jax.Array) -> jax.Array:
-    """Decode (codebook row gather + scale) as one-hot @ codebook — already a
-    single fused MXU matmul under XLA; kept here for symmetry/benchmarks."""
-    k = codewords.shape[0]
-    onehot = jax.nn.one_hot(codes.astype(jnp.int32), k, dtype=jnp.float32) * u[:, None]
-    return jnp.dot(onehot, codewords, preferred_element_type=jnp.float32)
+    """Decode as a table gather + row scale.  (A one-hot @ codebook matmul
+    would materialize an (M, K) operand in HBM — 1.5 GB for a grouped
+    ResNet-50 unit — so gather is the memory-safe XLA fallback; the Pallas
+    kernel below builds the one-hot per tile in VMEM instead.)"""
+    rows = jnp.take(codewords, codes.astype(jnp.int32), axis=0)
+    return rows * u[:, None]
+
+
+def _decode_kernel(codes_ref, u_ref, cb_ref, out_ref):
+    sub, lanes = codes_ref.shape
+    tm = sub * lanes
+    codes = codes_ref[:].reshape(tm)
+    u = u_ref[:].reshape(tm)
+    k = cb_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, k), 1)
+    onehot = jnp.where(col_ids == codes[:, None], u[:, None], 0.0)  # VMEM only
+    out_ref[:] = jax.lax.dot_general(
+        onehot, cb_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def hsq_decode(codes: jax.Array, u: jax.Array, codewords: jax.Array,
+               tile_m: int = DEFAULT_TILE_M, interpret: bool = False) -> jax.Array:
+    """codes (M,) int, u (M,) f32, codewords (K, dim) -> rows (M, dim).
+
+    Per tile: build the scaled one-hot in VMEM and hit the MXU — no (M, K)
+    HBM materialization, no gather."""
+    m = codes.shape[0]
+    k, dim = codewords.shape
+    tm = min(tile_m, -(-m // LANES) * LANES)
+    if not interpret and -(-m // tm) > 1 and (tm // LANES) % 8 != 0:
+        tm = -(-tm // (8 * LANES)) * (8 * LANES)
+    num_tiles = -(-m // tm)
+    m_pad = num_tiles * tm
+    if m_pad != m:
+        codes = jnp.pad(codes, (0, m_pad - m))
+        u = jnp.pad(u, (0, m_pad - m))
+
+    sub = tm // LANES
+    out = pl.pallas_call(
+        _decode_kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, dim), jnp.float32),
+        interpret=interpret,
+    )(
+        codes.astype(jnp.int32).reshape(m_pad // LANES, LANES),
+        u.astype(jnp.float32).reshape(m_pad // LANES, LANES),
+        codewords,
+    )
+    return out[:m]

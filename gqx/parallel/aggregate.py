@@ -11,57 +11,57 @@ Behavioral spec from the reference (SURVEY.md §2.3):
     quantized **sum** over users (not a mean), and the broadcast phase is
     lossless.
 
-TPU-first design: aggregation is a pure function over a gradient pytree whose
-leaves carry a leading ``users`` axis.  On one chip the users axis is
-materialized by ``vmap`` (PS — all users independent) or ``lax.scan``
-(ring — inherently sequential per hop).  The same per-user math is reused by
-the real-mesh ``shard_map`` collectives in gqx.parallel.collectives, which is
-what makes simulated-vs-mesh parity testable (SURVEY.md §4).
+TPU-first design: gradients are packed into a handful of flat "units"
+(gqx.parallel.packing) — one concatenated vector per compressor config plus
+one identity unit for the <=1000-element passthrough leaves — and each unit
+is aggregated as a whole.  On one chip the users axis is ``vmap`` (PS) or
+``lax.scan`` (ring, inherently sequential).  The same per-user math is
+reused by the real-mesh ``shard_map`` collectives in
+gqx.parallel.collectives, which is what makes simulated-vs-mesh parity
+testable (SURVEY.md §4).
 
-EF state layout: one array of shape (num_users, *leaf.shape) per leaf
-(reference keeps a per-user python list per param, ps_quantizer.py:21-23);
-the server-side two-phase error is one array of the leaf shape
-(ps_quantizer.py:24-25).
+EF state layout: one (num_users, unit_size) array per unit (the reference
+keeps a per-user list per param, ps_quantizer.py:21-23); the server-side
+two-phase error is one (unit_size,) array per unit (ps_quantizer.py:24-25).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from gqx.compress.api import Compressor
+from gqx.parallel.packing import UnitPlan
 
 PyTree = Any
 
 
 class AggState(NamedTuple):
-    """Aggregator state threaded through training steps."""
+    """Aggregator state threaded through training steps (per-unit lists)."""
 
-    ef: Optional[PyTree]          # per-leaf (num_users, *shape) or None
-    server_ef: Optional[PyTree]   # per-leaf (*shape) or None (two-phase only)
+    ef: Optional[List[jax.Array]]          # [(num_users, unit_size)] or None
+    server_ef: Optional[List[jax.Array]]   # [(unit_size,)] or None
 
 
-def init_state(params: PyTree, num_users: int, ef: bool, two_phase: bool) -> AggState:
-    ef_tree = (
-        jax.tree.map(lambda p: jnp.zeros((num_users,) + tuple(p.shape), p.dtype), params)
-        if ef
+def init_state(plan: UnitPlan, num_users: int, ef: bool, two_phase: bool) -> AggState:
+    ef_list = (
+        [jnp.zeros((num_users, u.size), jnp.float32) for u in plan.units] if ef else None
+    )
+    server_list = (
+        [jnp.zeros((u.size,), jnp.float32) for u in plan.units]
+        if (ef and two_phase)
         else None
     )
-    server_tree = (
-        jax.tree.map(lambda p: jnp.zeros_like(p), params) if (ef and two_phase) else None
-    )
-    return AggState(ef=ef_tree, server_ef=server_tree)
+    return AggState(ef=ef_list, server_ef=server_list)
 
 
-def _leaf_keys(key: jax.Array, treedef, num_users: int):
-    """One (num_users+1)-row key block per leaf: rows 0..U-1 for users, row U
-    for the server-side (two-phase) recompression."""
-    n = treedef.num_leaves
-    leaf_keys = jax.random.split(key, n)
-    blocks = [jax.random.split(k, num_users + 1) for k in leaf_keys]
-    return jax.tree.unflatten(treedef, blocks)
+def unit_keys(key: jax.Array, num_units: int, num_users: int):
+    """Per-unit key blocks: rows 0..U-1 for users, row U for the server-side
+    (two-phase) recompression."""
+    unit_key_arr = jax.random.split(key, num_units)
+    return [jax.random.split(k, num_users + 1) for k in unit_key_arr]
 
 
 def _user_roundtrip(comp: Compressor, g: jax.Array, err, scale, key):
@@ -75,7 +75,7 @@ def _user_roundtrip(comp: Compressor, g: jax.Array, err, scale, key):
 
 
 def ps_aggregate(
-    compressors: PyTree,
+    plan: UnitPlan,
     grads: PyTree,
     state: AggState,
     scale: jax.Array,
@@ -88,32 +88,27 @@ def ps_aggregate(
     ``grads`` leaves have shape (num_users, *leaf.shape).  Returns
     (aggregated_grads, new_state); aggregated leaves have the leaf shape.
     """
-    leaves, treedef = jax.tree.flatten(grads)
-    num_users = leaves[0].shape[0]
-    keys = _leaf_keys(key, treedef, num_users)
+    units = plan.pack(grads)  # [(U, unit_size)]
+    num_users = units[0].shape[0]
+    keys = unit_keys(key, len(units), num_users)
     ef_on = state.ef is not None
 
-    comp_leaves = treedef.flatten_up_to(compressors)
-    ef_leaves = treedef.flatten_up_to(state.ef) if ef_on else [None] * len(leaves)
-    server_leaves = (
-        treedef.flatten_up_to(state.server_ef)
-        if state.server_ef is not None
-        else [None] * len(leaves)
-    )
-    key_leaves = treedef.flatten_up_to(keys)
-
     out, new_ef, new_server = [], [], []
-    for comp, g, e, se, kb in zip(comp_leaves, leaves, ef_leaves, server_leaves, key_leaves):
-        user_keys = kb[:num_users]
-        server_key = kb[num_users]
-
-        def one(g_u, key_u, e_u=None, comp=comp):
-            return _user_roundtrip(comp, g_u, e_u, scale, key_u)
+    for ui, (u, g) in enumerate(zip(plan.units, units)):
+        comp = u.compressor
+        user_keys = keys[ui][:num_users]
+        server_key = keys[ui][num_users]
+        e = state.ef[ui] if ef_on else None
+        se = state.server_ef[ui] if state.server_ef is not None else None
 
         if ef_on:
-            dec, e_new = jax.vmap(lambda g_u, k_u, e_u: one(g_u, k_u, e_u))(g, user_keys, e)
+            dec, e_new = jax.vmap(
+                lambda g_u, k_u, e_u, comp=comp: _user_roundtrip(comp, g_u, e_u, scale, k_u)
+            )(g, user_keys, e)
         else:
-            dec, e_new = jax.vmap(lambda g_u, k_u: one(g_u, k_u))(g, user_keys)
+            dec, e_new = jax.vmap(
+                lambda g_u, k_u, comp=comp: _user_roundtrip(comp, g_u, None, scale, k_u)
+            )(g, user_keys)
 
         mean = jnp.mean(dec, axis=0)  # server reduce (reference ps_quantizer.py:48)
 
@@ -127,24 +122,23 @@ def ps_aggregate(
                 mean = dec2
             else:
                 mean = comp.roundtrip(mean, server_key)
-        else:
-            if se is not None:
-                new_server.append(se)
+        elif se is not None:
+            new_server.append(se)
 
         out.append(mean)
         if ef_on:
             new_ef.append(e_new)
 
-    agg = jax.tree.unflatten(treedef, out)
+    agg = plan.unpack(out)
     new_state = AggState(
-        ef=jax.tree.unflatten(treedef, new_ef) if ef_on else None,
-        server_ef=jax.tree.unflatten(treedef, new_server) if state.server_ef is not None else None,
+        ef=new_ef if ef_on else None,
+        server_ef=new_server if state.server_ef is not None else None,
     )
     return agg, new_state
 
 
 def ring_aggregate(
-    compressors: PyTree,
+    plan: UnitPlan,
     grads: PyTree,
     state: AggState,
     scale: jax.Array,
@@ -155,20 +149,17 @@ def ring_aggregate(
     The hop order is user 0 → 1 → … → U-1; each hop compresses the running
     partial sum, so quantization noise is injected at every hop
     (reference ring_quantizer.py:31-43).  The result is the last hop's
-    decompressed value — a quantized **sum**, not a mean (its :45-47).
-    """
-    leaves, treedef = jax.tree.flatten(grads)
-    num_users = leaves[0].shape[0]
-    keys = _leaf_keys(key, treedef, num_users)
+    decompressed value — a quantized **sum**, not a mean (its :45-47)."""
+    units = plan.pack(grads)
+    num_users = units[0].shape[0]
+    keys = unit_keys(key, len(units), num_users)
     ef_on = state.ef is not None
 
-    comp_leaves = treedef.flatten_up_to(compressors)
-    ef_leaves = treedef.flatten_up_to(state.ef) if ef_on else [None] * len(leaves)
-    key_leaves = treedef.flatten_up_to(keys)
-
     out, new_ef = [], []
-    for comp, g, e, kb in zip(comp_leaves, leaves, ef_leaves, key_leaves):
-        user_keys = kb[:num_users]
+    for ui, (u, g) in enumerate(zip(plan.units, units)):
+        comp = u.compressor
+        user_keys = keys[ui][:num_users]
+        e = state.ef[ui] if ef_on else None
         first_mask = jnp.arange(num_users) == 0
 
         def hop(carry, inp, comp=comp):
@@ -188,25 +179,22 @@ def ring_aggregate(
         if ef_on:
             new_ef.append(e_scan)
 
-    agg = jax.tree.unflatten(treedef, out)
-    new_state = AggState(
-        ef=jax.tree.unflatten(treedef, new_ef) if ef_on else None,
-        server_ef=state.server_ef,
-    )
+    agg = plan.unpack(out)
+    new_state = AggState(ef=new_ef if ef_on else None, server_ef=state.server_ef)
     return agg, new_state
 
 
-def make_aggregator(config, compressors: PyTree):
+def make_aggregator(config, plan: UnitPlan):
     """Return aggregate(grads, state, scale, key) for config.mode
     (factory parity with reference quantizers/__init__.py:5-10)."""
     if config.mode == "ps":
         def agg(grads, state, scale, key):
             return ps_aggregate(
-                compressors, grads, state, scale, key, two_phase=config.two_phase
+                plan, grads, state, scale, key, two_phase=config.two_phase
             )
         return agg
     if config.mode == "ring":
         def agg(grads, state, scale, key):
-            return ring_aggregate(compressors, grads, state, scale, key)
+            return ring_aggregate(plan, grads, state, scale, key)
         return agg
     raise ValueError(f"unknown mode {config.mode!r}")

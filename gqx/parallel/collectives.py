@@ -4,7 +4,8 @@ collectives).
 This is the component the reference *lacks* (SURVEY.md §2.10 — its
 "communication" is in-process list appends): here the users axis is a
 ``jax.sharding.Mesh`` axis; each device hosts ``num_users / n_devices``
-local users and the aggregation becomes real collectives:
+local users and the aggregation becomes real collectives over the
+compression units of gqx.parallel.packing:
 
   - PS mode, wire='logical': per-user encode→decode locally, then
     ``lax.pmean`` of the decompressed gradients (semantics identical to the
@@ -26,7 +27,6 @@ device), so the server-side EF state stays consistent across the mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Tuple
 
 import jax
@@ -34,32 +34,30 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gqx.parallel.aggregate import AggState, _user_roundtrip
+from gqx.parallel.aggregate import AggState, _user_roundtrip, unit_keys
+from gqx.parallel.packing import UnitPlan
 from gqx.train import TrainState, cross_entropy
 
 PyTree = Any
 
 
 def make_user_mesh(num_users: int, axis: str = "users") -> Tuple[Mesh, int]:
-    """1-D mesh over all devices; num_users must be a multiple of the device
-    count.  Returns (mesh, local_users_per_device)."""
+    """1-D mesh over all devices; uses the largest device count that divides
+    num_users.  Returns (mesh, local_users_per_device)."""
     devices = np.asarray(jax.devices())
     n = len(devices)
-    if num_users % n != 0:
-        # use the largest divisor of num_users that fits
-        while n > 1 and num_users % n != 0:
-            n -= 1
-        devices = devices[:n]
-    mesh = Mesh(devices, (axis,))
+    while n > 1 and num_users % n != 0:
+        n -= 1
+    mesh = Mesh(devices[:n], (axis,))
     return mesh, num_users // n
 
 
 # --------------------------------------------------------------------------
-# per-leaf aggregation bodies (run INSIDE shard_map)
+# per-unit aggregation bodies (run INSIDE shard_map)
 # --------------------------------------------------------------------------
 
-def _ps_leaf_logical(comp, g_local, e_local, scale, keys, axis):
-    """g_local: (U_local, *shape). Returns (global_mean, new_e_local)."""
+def _ps_unit_logical(comp, g_local, e_local, scale, keys, axis):
+    """g_local: (U_local, unit_size). Returns (global_mean, new_e_local)."""
     if e_local is not None:
         dec, e_new = jax.vmap(
             lambda g, e, k: _user_roundtrip(comp, g, e, scale, k)
@@ -72,7 +70,7 @@ def _ps_leaf_logical(comp, g_local, e_local, scale, keys, axis):
     return jax.lax.pmean(local_mean, axis), e_new
 
 
-def _ps_leaf_packed(comp, g_local, e_local, scale, keys, axis):
+def _ps_unit_packed(comp, g_local, e_local, scale, keys, axis):
     """Wire-true PS: all-gather packed payloads, decode all users, mean."""
     from gqx.ops.wire import pack_signature, unpack_signature
 
@@ -97,7 +95,7 @@ def _ps_leaf_packed(comp, g_local, e_local, scale, keys, axis):
     return jnp.mean(dec_all, axis=0), e_new
 
 
-def _two_phase_leaf(comp, mean, server_e, scale, server_key):
+def _two_phase_unit(comp, mean, server_e, scale, server_key):
     """Replicated downlink recompression (reference ps_quantizer.py:52-61)."""
     if server_e is not None:
         mean = mean + server_e
@@ -106,7 +104,7 @@ def _two_phase_leaf(comp, mean, server_e, scale, server_key):
     return comp.roundtrip(mean, server_key), None
 
 
-def _ring_leaf(comp, g_local, e_local, scale, keys, axis, n_dev):
+def _ring_unit(comp, g_local, e_local, scale, keys, axis, n_dev):
     """Chain over all users: local scan, then D sequential ppermute hops.
 
     Device d's local chain starts from the partial received from device d-1;
@@ -141,9 +139,7 @@ def _ring_leaf(comp, g_local, e_local, scale, keys, axis, n_dev):
         active = my == d
         carry = jnp.where(active, out, received)
         if e_local is not None:
-            e_final = e_new if e_final is None else jax.tree.map(
-                lambda new, old: jnp.where(active, new, old), e_new, e_final
-            )
+            e_final = e_new if e_final is None else jnp.where(active, e_new, e_final)
 
     # broadcast the last device's value (lossless broadcast phase)
     final = jax.lax.psum(jnp.where(my == n_dev - 1, carry, jnp.zeros_like(carry)), axis)
@@ -154,8 +150,8 @@ def _ring_leaf(comp, g_local, e_local, scale, keys, axis, n_dev):
 # the mesh training step
 # --------------------------------------------------------------------------
 
-def make_mesh_train_step(config, model, compressors, tx, state: TrainState):
-    """Build a pjit-ted training step over the users mesh.
+def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
+    """Build a jitted shard_map training step over the users mesh.
 
     Returns (train_step, resharded_state).  EF state is sharded over the
     users axis; params/opt_state/server-EF are replicated.
@@ -164,8 +160,6 @@ def make_mesh_train_step(config, model, compressors, tx, state: TrainState):
     mesh, local_users = make_user_mesh(config.num_users, axis)
     n_dev = mesh.devices.size
     packed = config.wire == "packed"
-
-    comp_leaves_template = state.params  # treedef reference
 
     def user_grads(params, batch_stats, x, y):
         def loss_fn(p):
@@ -192,46 +186,46 @@ def make_mesh_train_step(config, model, compressors, tx, state: TrainState):
             lambda xu, yu: user_grads(params, batch_stats, xu, yu)
         )(x, y)
 
-        leaves, treedef = jax.tree.flatten(grads)
-        comp_leaves = treedef.flatten_up_to(compressors)
+        units = plan.pack(grads)  # [(U_local, unit_size)]
+        keys = unit_keys(key, len(units), local_users)
         ef_on = agg_state.ef is not None
-        ef_leaves = treedef.flatten_up_to(agg_state.ef) if ef_on else [None] * len(leaves)
         server_on = agg_state.server_ef is not None
-        server_leaves = (
-            treedef.flatten_up_to(agg_state.server_ef) if server_on else [None] * len(leaves)
-        )
 
         my = jax.lax.axis_index(axis)
         agg_out, ef_out, server_out = [], [], []
-        for li, (comp, g, e) in enumerate(zip(comp_leaves, leaves, ef_leaves)):
-            leaf_key = jax.random.fold_in(key, li)
-            user_keys = jax.vmap(
-                lambda u: jax.random.fold_in(jax.random.fold_in(leaf_key, 1), u)
-            )(my * local_users + jnp.arange(local_users))
-            server_key = jax.random.fold_in(leaf_key, 2)  # same on all devices
+        for ui, (u, g) in enumerate(zip(plan.units, units)):
+            comp = u.compressor
+            # distinct keys per (device, local user): fold the device index in
+            dev_key = jax.random.fold_in(keys[ui][local_users], my)
+            user_keys = jax.vmap(lambda i: jax.random.fold_in(dev_key, i))(
+                jnp.arange(local_users)
+            )
+            server_key = keys[ui][local_users]  # same on all devices
+            e = agg_state.ef[ui] if ef_on else None
+            se = agg_state.server_ef[ui] if server_on else None
 
             if config.mode == "ring":
-                mean, e_new = _ring_leaf(comp, g, e, scale, user_keys, axis, n_dev)
+                mean, e_new = _ring_unit(comp, g, e, scale, user_keys, axis, n_dev)
             elif packed:
-                mean, e_new = _ps_leaf_packed(comp, g, e, scale, user_keys, axis)
+                mean, e_new = _ps_unit_packed(comp, g, e, scale, user_keys, axis)
             else:
-                mean, e_new = _ps_leaf_logical(comp, g, e, scale, user_keys, axis)
+                mean, e_new = _ps_unit_logical(comp, g, e, scale, user_keys, axis)
 
             if config.mode == "ps" and config.two_phase:
-                mean, se_new = _two_phase_leaf(comp, mean, server_leaves[li], scale, server_key)
+                mean, se_new = _two_phase_unit(comp, mean, se, scale, server_key)
                 if server_on:
                     server_out.append(se_new)
             elif server_on:
-                server_out.append(server_leaves[li])
+                server_out.append(se)
 
             agg_out.append(mean)
             if ef_on:
                 ef_out.append(e_new)
 
-        agg_grads = jax.tree.unflatten(treedef, agg_out)
+        agg_grads = plan.unpack(agg_out)
         new_agg_state = AggState(
-            ef=jax.tree.unflatten(treedef, ef_out) if ef_on else None,
-            server_ef=jax.tree.unflatten(treedef, server_out) if server_on else None,
+            ef=ef_out if ef_on else None,
+            server_ef=server_out if server_on else None,
         )
 
         updates, new_opt_state = tx.update(agg_grads, opt_state, params)
@@ -244,11 +238,11 @@ def make_mesh_train_step(config, model, compressors, tx, state: TrainState):
     replicated = P()
     users_first = P(axis)
 
-    ef_spec = jax.tree.map(lambda _: users_first, state.agg_state.ef) if state.agg_state.ef is not None else None
+    ef_spec = (
+        [users_first for _ in plan.units] if state.agg_state.ef is not None else None
+    )
     server_spec = (
-        jax.tree.map(lambda _: replicated, state.agg_state.server_ef)
-        if state.agg_state.server_ef is not None
-        else None
+        [replicated for _ in plan.units] if state.agg_state.server_ef is not None else None
     )
     agg_spec = AggState(ef=ef_spec, server_ef=server_spec)
 

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gqx.compress import build_leaf_compressors
 from gqx.parallel.aggregate import AggState, init_state, make_aggregator
+from gqx.parallel.packing import UnitPlan, plan_units
 
 PyTree = Any
 
@@ -38,9 +38,9 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def create_train_state(config, model, sample_input, key) -> Tuple[TrainState, PyTree, Any]:
-    """Initialize params/batch_stats/optimizer/EF state and per-leaf
-    compressors.  Returns (state, compressors, tx)."""
+def create_train_state(config, model, sample_input, key) -> Tuple[TrainState, UnitPlan, Any]:
+    """Initialize params/batch_stats/optimizer/EF state and the compression
+    unit plan.  Returns (state, plan, tx)."""
     variables = model.init(key, sample_input, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -53,8 +53,8 @@ def create_train_state(config, model, sample_input, key) -> Tuple[TrainState, Py
         optax.trace(decay=momentum, nesterov=False),
     )
     opt_state = tx.init(params)
-    agg_state = init_state(params, config.num_users, config.ef, config.two_phase)
-    compressors = build_leaf_compressors(params, config)
+    plan = plan_units(params, config)
+    agg_state = init_state(plan, config.num_users, config.ef, config.two_phase)
     state = TrainState(
         params=params,
         batch_stats=batch_stats,
@@ -62,18 +62,17 @@ def create_train_state(config, model, sample_input, key) -> Tuple[TrainState, Py
         agg_state=agg_state,
         step=jnp.zeros((), jnp.int32),
     )
-    return state, compressors, tx
+    return state, plan, tx
 
 
 def cross_entropy(logits, labels):
     return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
 
 
-def make_train_step(config, model, compressors, tx) -> Callable:
+def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
     """Build the jitted step: (state, x (U,B,H,W,C), y (U,B), scale, lr, key)
     -> (state, mean_loss)."""
-    aggregator = make_aggregator(config, compressors)
-    has_bn = True  # models without BN just carry an empty dict
+    aggregator = make_aggregator(config, plan)
 
     def user_grads(params, batch_stats, x, y):
         def loss_fn(p):

@@ -1,19 +1,20 @@
 """Aggregation-layer tests: PS mean semantics, ring sum semantics, error
-feedback telescoping, two-phase downlink recompression (SURVEY.md §2.3)."""
+feedback telescoping, two-phase downlink recompression (SURVEY.md §2.3),
+and unit-plan packing."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gqx.compress import IdenticalCompressor, QSGDCompressor, build_leaf_compressors
+from gqx.compress import IdenticalCompressor, QSGDCompressor
 from gqx.config import GQConfig
 from gqx.parallel.aggregate import (
-    AggState,
     init_state,
     make_aggregator,
     ps_aggregate,
     ring_aggregate,
 )
+from gqx.parallel.packing import plan_from_leaf_compressors, plan_units
 
 U = 4
 
@@ -22,63 +23,68 @@ def make_grads(rng, shapes):
     return {k: jnp.asarray(rng.standard_normal((U,) + s), jnp.float32) for k, s in shapes.items()}
 
 
-def identity_comps(grads):
-    return {k: IdenticalCompressor(int(np.prod(g.shape[1:])), g.shape[1:]) for k, g in grads.items()}
+def identity_plan(grads):
+    params = {k: g[0] for k, g in grads.items()}
+    comps = {k: IdenticalCompressor(int(np.prod(g.shape[1:])), g.shape[1:]) for k, g in grads.items()}
+    return plan_from_leaf_compressors(params, comps)
+
+
+def single_qsgd_plan(g0, **kw):
+    params = {"w": g0}
+    comps = {"w": QSGDCompressor(g0.size, g0.shape, **kw)}
+    return plan_from_leaf_compressors(params, comps), comps["w"]
 
 
 def test_ps_identity_is_mean(rng):
     grads = make_grads(rng, {"w": (32, 8), "b": (8,)})
-    comps = identity_comps(grads)
-    state = init_state({k: g[0] for k, g in grads.items()}, U, ef=False, two_phase=False)
-    agg, _ = ps_aggregate(comps, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
+    plan = identity_plan(grads)
+    state = init_state(plan, U, ef=False, two_phase=False)
+    agg, _ = ps_aggregate(plan, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
     for k in grads:
         np.testing.assert_allclose(np.asarray(agg[k]), np.asarray(grads[k]).mean(0), rtol=1e-6)
 
 
 def test_ring_identity_is_sum(rng):
     grads = make_grads(rng, {"w": (16, 4)})
-    comps = identity_comps(grads)
-    state = init_state({k: g[0] for k, g in grads.items()}, U, ef=False, two_phase=False)
-    agg, _ = ring_aggregate(comps, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
+    plan = identity_plan(grads)
+    state = init_state(plan, U, ef=False, two_phase=False)
+    agg, _ = ring_aggregate(plan, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
     # reference ring_quantizer.py:45-47: final value is the SUM over users
     np.testing.assert_allclose(np.asarray(agg["w"]), np.asarray(grads["w"]).sum(0), rtol=1e-5)
 
 
 def test_ps_qsgd_deterministic_matches_manual(rng):
     g = jnp.asarray(rng.standard_normal((U, 2048)), jnp.float32)
-    comp = QSGDCompressor(2048, (2048,), n_bit=4, c_dim=128, random=False)
-    grads = {"w": g}
-    state = init_state({"w": g[0]}, U, ef=False, two_phase=False)
-    agg, _ = ps_aggregate({"w": comp}, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
+    plan, comp = single_qsgd_plan(g[0], n_bit=4, c_dim=128, random=False)
+    state = init_state(plan, U, ef=False, two_phase=False)
+    agg, _ = ps_aggregate(plan, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0))
     manual = jnp.mean(jnp.stack([comp.roundtrip(g[u]) for u in range(U)]), axis=0)
     np.testing.assert_allclose(np.asarray(agg["w"]), np.asarray(manual), rtol=1e-6)
 
 
 def test_ps_error_feedback_telescopes(rng):
     g = jnp.asarray(rng.standard_normal((U, 2048)), jnp.float32)
-    comp = QSGDCompressor(2048, (2048,), n_bit=2, c_dim=128, random=False)
-    grads = {"w": g}
-    state = init_state({"w": g[0]}, U, ef=True, two_phase=False)
+    plan, comp = single_qsgd_plan(g[0], n_bit=2, c_dim=128, random=False)
+    state = init_state(plan, U, ef=True, two_phase=False)
     scale = jnp.float32(1.0)
-    agg, new_state = ps_aggregate({"w": comp}, grads, state, scale, jax.random.PRNGKey(0))
+    agg, new_state = ps_aggregate(plan, {"w": g}, state, scale, jax.random.PRNGKey(0))
     # error[user] = adjusted_grad - decompressed (reference ps_quantizer.py:39)
     for u in range(U):
-        adj = g[u] + scale * state.ef["w"][u]
+        adj = g[u] + scale * state.ef[0][u]
         dec = comp.roundtrip(adj)
         np.testing.assert_allclose(
-            np.asarray(new_state.ef["w"][u]), np.asarray(adj - dec), rtol=1e-5, atol=1e-6
+            np.asarray(new_state.ef[0][u]), np.asarray(adj - dec), rtol=1e-5, atol=1e-6
         )
-    # and the aggregate is the mean of the decompressed values
     manual = jnp.mean(jnp.stack([comp.roundtrip(g[u]) for u in range(U)]), axis=0)
     np.testing.assert_allclose(np.asarray(agg["w"]), np.asarray(manual), rtol=1e-5)
 
 
 def test_ps_two_phase_recompression(rng):
     g = jnp.asarray(rng.standard_normal((U, 2048)), jnp.float32)
-    comp = QSGDCompressor(2048, (2048,), n_bit=4, c_dim=128, random=False)
-    state = init_state({"w": g[0]}, U, ef=False, two_phase=True)
+    plan, comp = single_qsgd_plan(g[0], n_bit=4, c_dim=128, random=False)
+    state = init_state(plan, U, ef=False, two_phase=True)
     agg, _ = ps_aggregate(
-        {"w": comp}, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0), two_phase=True
+        plan, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0), two_phase=True
     )
     mean = jnp.mean(jnp.stack([comp.roundtrip(g[u]) for u in range(U)]), axis=0)
     manual = comp.roundtrip(mean)  # downlink recompression (ps_quantizer.py:52-61)
@@ -87,16 +93,16 @@ def test_ps_two_phase_recompression(rng):
 
 def test_ps_two_phase_server_ef(rng):
     g = jnp.asarray(rng.standard_normal((U, 2048)), jnp.float32)
-    comp = QSGDCompressor(2048, (2048,), n_bit=2, c_dim=128, random=False)
-    state = init_state({"w": g[0]}, U, ef=True, two_phase=True)
+    plan, comp = single_qsgd_plan(g[0], n_bit=2, c_dim=128, random=False)
+    state = init_state(plan, U, ef=True, two_phase=True)
     agg, new_state = ps_aggregate(
-        {"w": comp}, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0), two_phase=True
+        plan, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0), two_phase=True
     )
     mean = jnp.mean(jnp.stack([comp.roundtrip(g[u]) for u in range(U)]), axis=0)
     dec2 = comp.roundtrip(mean)  # server_error starts at zero
     np.testing.assert_allclose(np.asarray(agg["w"]), np.asarray(dec2), rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(new_state.server_ef["w"]), np.asarray(mean - dec2), rtol=1e-5, atol=1e-6
+        np.asarray(new_state.server_ef[0]), np.asarray(mean - dec2), rtol=1e-5, atol=1e-6
     )
 
 
@@ -104,9 +110,9 @@ def test_ring_chain_order(rng):
     """Ring hop i compresses (partial_{i-1} + g_i): verify against a manual
     sequential chain (reference ring_quantizer.py:31-43)."""
     g = jnp.asarray(rng.standard_normal((U, 2048)), jnp.float32)
-    comp = QSGDCompressor(2048, (2048,), n_bit=4, c_dim=128, random=False)
-    state = init_state({"w": g[0]}, U, ef=False, two_phase=False)
-    agg, _ = ring_aggregate({"w": comp}, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0))
+    plan, comp = single_qsgd_plan(g[0], n_bit=4, c_dim=128, random=False)
+    state = init_state(plan, U, ef=False, two_phase=False)
+    agg, _ = ring_aggregate(plan, {"w": g}, state, jnp.float32(1.0), jax.random.PRNGKey(0))
     partial = comp.roundtrip(g[0])
     for u in range(1, U):
         partial = comp.roundtrip(g[u] + partial)
@@ -117,16 +123,65 @@ def test_make_aggregator_jits(rng):
     cfg = GQConfig(quantizer="qsgd", mode="ps", c_dim=128, n_bit=2, ef=True,
                    num_users=U, dataset="synthetic")
     params = {"w": jnp.zeros((64, 64)), "b": jnp.zeros((64,))}
-    comps = build_leaf_compressors(params, cfg)
-    aggf = make_aggregator(cfg, comps)
+    plan = plan_units(params, cfg)
+    aggf = make_aggregator(cfg, plan)
     grads = make_grads(rng, {"w": (64, 64), "b": (64,)})
-    state = init_state(params, U, ef=True, two_phase=False)
+    state = init_state(plan, U, ef=True, two_phase=False)
     jitted = jax.jit(aggf)
     agg, new_state = jitted(grads, state, jnp.float32(0.5), jax.random.PRNGKey(2))
     assert agg["w"].shape == (64, 64)
-    assert new_state.ef["w"].shape == (U, 64, 64)
-    # small leaf is passthrough: aggregate == plain mean, EF error stays 0
+    # small leaf is passthrough: aggregate == plain mean, its EF error stays 0
     np.testing.assert_allclose(
         np.asarray(agg["b"]), np.asarray(grads["b"]).mean(0), rtol=1e-5, atol=1e-6
     )
-    np.testing.assert_allclose(np.asarray(new_state.ef["b"]), 0.0, atol=1e-6)
+
+
+def test_plan_units_grouping():
+    cfg = GQConfig(quantizer="hsq", c_dim=16, k_bit=6, n_bit=6, dataset="synthetic")
+    params = {
+        "a": jnp.zeros((64, 64)),     # 4096, divisible by 16 -> grouped
+        "b": jnp.zeros((48, 64)),     # 3072, divisible      -> grouped
+        "c": jnp.zeros((1032,)),      # ragged (1032 % 16 != 0; fixup -> 24) -> own unit
+        "small": jnp.zeros((10,)),    # passthrough
+    }
+    plan = plan_units(params, cfg)
+    kinds = sorted((len(u.leaf_indices), type(u.compressor).__name__) for u in plan.units)
+    # one grouped HSQ unit (a+b), one ragged HSQ unit (c), one identity (small)
+    assert len(plan.units) == 3
+    grouped = [u for u in plan.units if len(u.leaf_indices) == 2][0]
+    assert grouped.size == 4096 + 3072
+    assert type(grouped.compressor).__name__ == "HSQCompressor"
+
+
+def test_plan_pack_unpack_roundtrip(rng):
+    cfg = GQConfig(quantizer="qsgd", c_dim=16, n_bit=4, dataset="synthetic")
+    params = {"a": jnp.zeros((64, 64)), "b": jnp.zeros((32, 48)), "s": jnp.zeros((7,))}
+    plan = plan_units(params, cfg)
+    tree = {k: jnp.asarray(rng.standard_normal((U,) + tuple(v.shape)), jnp.float32)
+            for k, v in params.items()}
+    units = plan.pack(tree)
+    assert all(u.shape[0] == U for u in units)
+    back = plan.unpack(units)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(tree[k]))
+
+
+def test_grouped_vs_leafwise_qsgd_equivalence(rng):
+    """With c_dim dividing every leaf, grouping does not change QSGD math
+    (bucket boundaries align with leaf boundaries)."""
+    cfg_g = GQConfig(quantizer="qsgd", c_dim=16, n_bit=4, random=False,
+                     dataset="synthetic", grouping="auto")
+    cfg_l = GQConfig(quantizer="qsgd", c_dim=16, n_bit=4, random=False,
+                     dataset="synthetic", grouping="none")
+    params = {"a": jnp.zeros((64, 64)), "b": jnp.zeros((32, 48))}
+    grads = make_grads(rng, {"a": (64, 64), "b": (32, 48)})
+    for cfg in (cfg_g, cfg_l):
+        plan = plan_units(params, cfg)
+        state = init_state(plan, U, ef=False, two_phase=False)
+        agg, _ = ps_aggregate(plan, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
+        if cfg is cfg_g:
+            agg_grouped = agg
+    for k in grads:
+        np.testing.assert_allclose(
+            np.asarray(agg_grouped[k]), np.asarray(agg[k]), rtol=1e-6
+        )

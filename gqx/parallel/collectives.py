@@ -146,6 +146,61 @@ def _ring_unit(comp, g_local, e_local, scale, keys, axis, n_dev):
     return final, e_final
 
 
+def _ring_unit_segmented(comp_chunk, chunk, g_local, scale, keys, axis, n_dev):
+    """Bandwidth-optimal quantized ring: local (lossless) user sum, then a
+    ring reduce-scatter with per-hop encode→decode of 1/D-size segments,
+    then a compressed all-gather of the final segments.
+
+    Per-device wire volume is ~2x the compressed unit size (vs the chain's
+    D x full-size hops).  Per-hop quantization noise matches the spirit of
+    reference ring_quantizer.py (noise injected at every hop); output is the
+    quantized SUM over users, like the reference's ring.  EF is not
+    supported in this mode (use ring_mode='chain').
+    """
+    from gqx.ops.wire import pack_signature, unpack_signature
+
+    my = jax.lax.axis_index(axis)
+    g = jnp.sum(g_local, axis=0)  # local users reduce losslessly
+    size = g.shape[0]
+    pad = n_dev * chunk - size
+    segs = (jnp.pad(g, (0, pad)) if pad else g).reshape(n_dev, chunk)
+
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def rt_wire(x, key):
+        """encode -> wire -> (send) -> decode; returns (wire, identity fn)."""
+        sig = comp_chunk.compress(x, key)
+        return pack_signature(comp_chunk, sig)
+
+    acc = jnp.take(segs, my, axis=0)
+    for s in range(n_dev - 1):
+        hop_key = jax.random.fold_in(jax.random.fold_in(keys, my), s)
+        wire = rt_wire(acc, hop_key)
+        recv = jax.tree.map(lambda w: jax.lax.ppermute(w, axis, perm), wire)
+        partial = comp_chunk.decompress(unpack_signature(comp_chunk, recv))
+        recv_idx = (my - s - 1) % n_dev
+        acc = partial + jnp.take(segs, recv_idx, axis=0)
+
+    # device d now holds the quantized sum of segment (d+1) % n_dev;
+    # compressed all-gather + reorder back to segment order
+    final_key = jax.random.fold_in(jax.random.fold_in(keys, my), n_dev)
+    wire = rt_wire(acc, final_key)
+    gathered = jax.tree.map(lambda w: jax.lax.all_gather(w, axis), wire)
+    decoded = jax.vmap(
+        lambda wd: comp_chunk.decompress(unpack_signature(comp_chunk, wd))
+    )(gathered)  # (D, chunk); decoded[d] = segment (d+1) % D
+    order = (jnp.arange(n_dev) - 1) % n_dev  # out_seg[j] came from device j-1
+    out = jnp.take(decoded, order, axis=0).reshape(-1)[:size]
+    return out, None
+
+
+def segment_chunk_size(unit_size: int, n_dev: int, align: int) -> int:
+    """Per-device segment size: ceil(unit/D) rounded up to the compressor's
+    subvector alignment."""
+    base = -(-unit_size // n_dev)
+    return -(-base // align) * align
+
+
 # --------------------------------------------------------------------------
 # the mesh training step
 # --------------------------------------------------------------------------
@@ -160,6 +215,24 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
     mesh, local_users = make_user_mesh(config.num_users, axis)
     n_dev = mesh.devices.size
     packed = config.wire == "packed"
+
+    segmented_ring = config.mode == "ring" and config.ring_mode == "segmented"
+    chunk_comps = None
+    if segmented_ring:
+        if config.ef:
+            raise ValueError("ring_mode='segmented' does not support error "
+                             "feedback; use ring_mode='chain'")
+        from gqx.compress import IdenticalCompressor, make_compressor
+
+        chunk_comps = []
+        for u in plan.units:
+            align = max(int(getattr(u.compressor, "dim", 1)), 1)
+            chunk = segment_chunk_size(u.size, n_dev, align)
+            if isinstance(u.compressor, IdenticalCompressor):
+                cc = IdenticalCompressor(chunk, (chunk,))
+            else:
+                cc = make_compressor(config.quantizer, chunk, (chunk,), config)
+            chunk_comps.append((cc, chunk))
 
     def user_grads(params, batch_stats, x, y):
         def loss_fn(p):
@@ -204,7 +277,12 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
             e = agg_state.ef[ui] if ef_on else None
             se = agg_state.server_ef[ui] if server_on else None
 
-            if config.mode == "ring":
+            if segmented_ring:
+                cc, chunk = chunk_comps[ui]
+                mean, e_new = _ring_unit_segmented(
+                    cc, chunk, g, scale, keys[ui][local_users], axis, n_dev
+                )
+            elif config.mode == "ring":
                 mean, e_new = _ring_unit(comp, g, e, scale, user_keys, axis, n_dev)
             elif packed:
                 mean, e_new = _ps_unit_packed(comp, g, e, scale, user_keys, axis)

@@ -83,6 +83,35 @@ def test_mesh_matches_sim(mode, wire, ef, two_phase):
         assert_trees_close(state_sim.agg_state.ef, state_mesh.agg_state.ef)
 
 
+def test_segmented_ring_identity_matches_chain():
+    """With the identity compressor the segmented ring is an exact sum —
+    same result as the chain (both equal plain gradient sum)."""
+    cfg_chain = base_cfg(mode="ring", quantizer="sgd", backend="mesh")
+    cfg_seg = base_cfg(mode="ring", quantizer="sgd", backend="mesh",
+                       ring_mode="segmented")
+    s1, l1 = run_steps(cfg_chain)
+    s2, l2 = run_steps(cfg_seg)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    assert_trees_close(s1.params, s2.params)
+
+
+def test_segmented_ring_qsgd_close_to_sum():
+    """Quantized segmented ring approximates the gradient sum: train a couple
+    of steps and check losses stay finite and close to the chain's."""
+    cfg = base_cfg(mode="ring", backend="mesh", ring_mode="segmented", n_bit=8)
+    state, losses = run_steps(cfg)
+    assert all(np.isfinite(losses))
+    cfg_chain = base_cfg(mode="ring", backend="mesh", n_bit=8)
+    _, losses_chain = run_steps(cfg_chain)
+    np.testing.assert_allclose(losses, losses_chain, rtol=0.05)
+
+
+def test_segmented_ring_rejects_ef():
+    cfg = base_cfg(mode="ring", backend="mesh", ring_mode="segmented", ef=True)
+    with pytest.raises(ValueError):
+        run_steps(cfg, n_steps=1)
+
+
 def test_mesh_stochastic_runs_finite():
     cfg = base_cfg(quantizer="hsq", c_dim=16, k_bit=6, n_bit=6, random=True,
                    ef=True, backend="mesh", wire="packed")

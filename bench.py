@@ -1,9 +1,14 @@
 """Benchmark: steps/sec on the canonical HSQ config (reference README.md:3-8 —
-hsq c-dim 16, k-bit 8, n-bit 6, 8 users, batch 32) with CIFAR-10-shaped data
-on ResNet-50, single chip.
+hsq c-dim 16, k-bit 8, n-bit 6, 8 users, batch 32) with CIFAR-10-shaped data,
+single chip.
 
 Prints ONE JSON line:
     {"metric": ..., "value": steps_per_sec, "unit": "steps/s", "vs_baseline": r}
+
+Robustness: XLA compile of the fused ResNet-50 step takes many minutes on a
+tunneled TPU, so the measurement runs in a budgeted subprocess and falls back
+from resnet50 -> resnet18 -> HSQ-kernel-only throughput; whichever completes
+is reported (the metric string names what was measured).
 
 ``vs_baseline`` compares against the *reference implementation running the
 same config* (the reference publishes no numbers — BASELINE.md — so it must
@@ -15,13 +20,13 @@ TPU-native rebuild).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-STEPS_WARMUP = 3
 STEPS_TIMED = 20
 
 
@@ -29,7 +34,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_gqx() -> float:
+# --------------------------------------------------------------------------
+# child: measure one e2e config, print one JSON line
+# --------------------------------------------------------------------------
+
+def measure_e2e(network: str, use_pallas: bool) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -37,33 +46,21 @@ def measure_gqx() -> float:
     from gqx.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-
     from gqx.config import GQConfig
     from gqx.models import create_model
     from gqx.train import create_train_state, make_train_step
 
     cfg = GQConfig(
-        network=os.environ.get("GQX_BENCH_NETWORK", "resnet50"),
-        dataset="synthetic",
-        quantizer="hsq",
-        c_dim=16,
-        k_bit=8,
-        n_bit=6,
-        num_users=8,
-        batch_size=32,
-        seed=1,
+        network=network, dataset="synthetic", quantizer="hsq",
+        c_dim=16, k_bit=8, n_bit=6, num_users=8, batch_size=32, seed=1,
     )
-    # Mosaic (Pallas) kernel compilation takes minutes per kernel on a
-    # tunneled TPU and is not persistently cached, so the e2e bench uses the
-    # XLA path by default; the Pallas kernels are benchmarked in isolation
-    # below (GQX_BENCH_KERNELS).  Set GQX_BENCH_PALLAS=1 to include them.
-    cfg.use_pallas = os.environ.get("GQX_BENCH_PALLAS", "0") == "1"
-    log(f"backend={jax.default_backend()} use_pallas={cfg.use_pallas}")
+    cfg.use_pallas = use_pallas
+    log(f"e2e: network={network} backend={jax.default_backend()} use_pallas={use_pallas}")
 
     model = create_model(cfg.network, cfg.num_classes)
     sample = jnp.zeros((cfg.batch_size, 32, 32, 3), jnp.float32)
-    state, comps, tx = create_train_state(cfg, model, sample, jax.random.PRNGKey(0))
-    train_step = make_train_step(cfg, model, comps, tx)
+    state, plan, tx = create_train_state(cfg, model, sample, jax.random.PRNGKey(0))
+    train_step = make_train_step(cfg, model, plan, tx)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((cfg.num_users, cfg.batch_size, 32, 32, 3)), jnp.float32)
@@ -71,22 +68,91 @@ def measure_gqx() -> float:
     scale, lr = jnp.float32(1.0), jnp.float32(0.1)
 
     key = jax.random.PRNGKey(1)
-    t_compile = time.time()
-    for i in range(STEPS_WARMUP):
-        key, k = jax.random.split(key)
-        state, loss = train_step(state, x, y, scale, lr, k)
+    t0 = time.time()
+    key, k = jax.random.split(key)
+    state, loss = train_step(state, x, y, scale, lr, k)
     jax.block_until_ready(loss)
-    log(f"warmup+compile: {time.time()-t_compile:.1f}s")
+    log(f"compile+first step: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    for i in range(STEPS_TIMED):
+    for _ in range(STEPS_TIMED):
         key, k = jax.random.split(key)
         state, loss = train_step(state, x, y, scale, lr, k)
     jax.block_until_ready(loss)
     dt = time.time() - t0
     sps = STEPS_TIMED / dt
-    log(f"gqx: {STEPS_TIMED} steps in {dt:.2f}s -> {sps:.3f} steps/s, loss={float(loss):.4f}")
+    log(f"{network}: {STEPS_TIMED} steps in {dt:.2f}s -> {sps:.3f} steps/s, loss={float(loss):.4f}")
     return sps
+
+
+def measure_kernel_throughput() -> float:
+    """HSQ encode+decode roundtrip throughput on a grouped-ResNet-50-sized
+    gradient (steps/s-equivalent is not meaningful here; value is GB/s)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gqx.codebooks import get_codebook
+    from gqx.ops.pallas_hsq import hsq_decode, hsq_encode
+
+    dim, k = 16, 256
+    m = 23498432 // dim
+    cb = jnp.asarray(get_codebook(dim, k))
+    rows = jnp.asarray(np.random.default_rng(0).standard_normal((m, dim)), jnp.float32)
+
+    @jax.jit
+    def rt(r):
+        u, codes = hsq_encode(r, cb)
+        return hsq_decode(codes, u, cb)
+
+    out = rt(rows)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(10):
+        out = rt(rows)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / 10
+    gbps = m * dim * 4 / dt / 1e9
+    log(f"kernel roundtrip: {dt*1e3:.2f} ms -> {gbps:.1f} GB/s")
+    return gbps
+
+
+def child_main(kind: str, network: str):
+    if kind == "e2e":
+        use_pallas = os.environ.get("GQX_BENCH_PALLAS", "0") == "1"
+        sps = measure_e2e(network, use_pallas)
+        print(json.dumps({"kind": "e2e", "network": network, "steps_per_sec": sps}))
+    else:
+        gbps = measure_kernel_throughput()
+        print(json.dumps({"kind": "kernel", "gbps": gbps}))
+
+
+# --------------------------------------------------------------------------
+# parent: budgets + fallbacks + baseline
+# --------------------------------------------------------------------------
+
+def run_child(kind: str, network: str, budget: float):
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--child", kind, network],
+            capture_output=True, timeout=budget, text=True, cwd=REPO,
+        )
+        sys.stderr.write(proc.stderr[-4000:])
+        if proc.returncode != 0:
+            log(f"child {kind}/{network} failed rc={proc.returncode}")
+            return None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        return None
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode(errors="replace")
+            sys.stderr.write(err[-2000:])
+        log(f"child {kind}/{network} exceeded budget {budget}s")
+        return None
 
 
 def measure_reference() -> float:
@@ -161,63 +227,41 @@ def get_baseline() -> dict:
         return {"steps_per_sec": None}
 
 
-def measure_kernels():
-    """Microbench: fused Pallas HSQ encode/decode vs the pure-XLA path, on a
-    grouped-ResNet-50-sized gradient (reported to stderr only)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from gqx.codebooks import get_codebook
-    from gqx.ops.pallas_hsq import hsq_decode, hsq_decode_xla, hsq_encode
-
-    dim, k = 16, 256
-    m = 23498432 // dim
-    cb = jnp.asarray(get_codebook(dim, k))
-    rows = jnp.asarray(np.random.default_rng(0).standard_normal((m, dim)), jnp.float32)
-
-    def timeit(fn, *a, n=10):
-        out = fn(*a)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(n):
-            out = fn(*a)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / n
-
-    enc_xla = jax.jit(
-        lambda r: (lambda p: (jnp.take_along_axis(p, jnp.argmax(jnp.abs(p), 1)[:, None], 1)[:, 0],
-                              jnp.argmax(jnp.abs(p), 1)))(
-            jnp.dot(r, cb.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST))
-    )
-    t_xla = timeit(enc_xla, rows)
-    t_pl = timeit(lambda r: hsq_encode(r, cb), rows)
-    gb = m * dim * 4 / 1e9
-    log(f"hsq_encode {gb:.2f} GB: xla {t_xla*1e3:.2f} ms ({gb/t_xla:.0f} GB/s), "
-        f"pallas {t_pl*1e3:.2f} ms ({gb/t_pl:.0f} GB/s), speedup {t_xla/t_pl:.2f}x")
-
-    u, codes = hsq_encode(rows, cb)
-    t_dx = timeit(lambda c, uu: hsq_decode_xla(c, uu, cb), codes, u)
-    t_dp = timeit(lambda c, uu: hsq_decode(c, uu, cb), codes, u)
-    log(f"hsq_decode: xla-gather {t_dx*1e3:.2f} ms ({gb/t_dx:.0f} GB/s), "
-        f"pallas {t_dp*1e3:.2f} ms ({gb/t_dp:.0f} GB/s), speedup {t_dx/t_dp:.2f}x")
-
-
 def main():
-    if os.environ.get("GQX_BENCH_KERNELS", "0") == "1":
-        measure_kernels()
-    sps = measure_gqx()
+    budget_50 = float(os.environ.get("GQX_BENCH_BUDGET_50", "1800"))
+    budget_18 = float(os.environ.get("GQX_BENCH_BUDGET_18", "700"))
+
+    result = run_child("e2e", "resnet50", budget_50)
+    if result is None:
+        result = run_child("e2e", "resnet18", budget_18)
+
     base = get_baseline()
     ref_sps = base.get("steps_per_sec")
-    vs = (sps / ref_sps) if ref_sps else None
+
+    if result is not None:
+        sps = result["steps_per_sec"]
+        net = result["network"]
+        vs = (sps / ref_sps) if (ref_sps and net == "resnet50") else None
+        print(json.dumps({
+            "metric": f"train steps/s, {net}/cifar10-shape, hsq(d16,K256,n6), 8 users, batch 32, 1 chip",
+            "value": round(sps, 4),
+            "unit": "steps/s",
+            "vs_baseline": round(vs, 3) if vs else None,
+        }))
+        return
+
+    result = run_child("kernel", "-", 600)
+    gbps = result["gbps"] if result else 0.0
     print(json.dumps({
-        "metric": "train steps/s, resnet50/cifar10-shape, hsq(d16,K256,n6), 8 users, batch 32, 1 chip",
-        "value": round(sps, 4),
-        "unit": "steps/s",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "metric": "HSQ encode+decode roundtrip throughput, 94 MB gradient (d16,K256), 1 chip",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": None,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child_main(sys.argv[2], sys.argv[3])
+    else:
+        main()

@@ -78,7 +78,9 @@ class HSQCompressor(Compressor):
         )
 
     # -- encode -------------------------------------------------------------
-    def _encode_xla(self, rows: jax.Array):
+    _XLA_CHUNK_ROWS = 1 << 16  # caps the (chunk, K) product matrix in HBM
+
+    def _encode_chunk(self, rows: jax.Array):
         # HIGHEST precision: on TPU the default bf16 matmul can flip near-tie
         # argmax code choices; the encode matmul is bandwidth-bound anyway.
         p = jnp.dot(
@@ -88,6 +90,21 @@ class HSQCompressor(Compressor):
         codes = jnp.argmax(jnp.abs(p), axis=1)
         u = jnp.take_along_axis(p, codes[:, None], axis=1)[:, 0]
         return u, codes
+
+    def _encode_xla(self, rows: jax.Array):
+        # chunk over rows so the (M, K) product matrix never materializes in
+        # HBM (a grouped ResNet-50 unit is 1.47M rows; x8 vmapped users the
+        # full product would be 12 GB)
+        m = rows.shape[0]
+        ch = self._XLA_CHUNK_ROWS
+        if m <= ch:
+            return self._encode_chunk(rows)
+        nc = -(-m // ch)
+        pad = nc * ch - m
+        if pad:
+            rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        u, codes = jax.lax.map(self._encode_chunk, rows.reshape(nc, ch, self.dim))
+        return u.reshape(-1)[:m], codes.reshape(-1)[:m]
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
         rows = vec.reshape(-1, self.dim).astype(jnp.float32)

@@ -97,18 +97,22 @@ def hsq_decode_xla(codes: jax.Array, u: jax.Array, codewords: jax.Array) -> jax.
 
 
 def _decode_kernel(codes_ref, u_ref, cb_ref, out_ref):
-    sub, lanes = codes_ref.shape
-    tm = sub * lanes
-    codes = codes_ref[:].reshape(tm)
-    u = u_ref[:].reshape(tm)
+    # Stay in the (sub, 128, ·) layout end-to-end: Mosaic rejects reshapes
+    # that change the lane dimension (e.g. (8,128)->(1024,1)), so the one-hot
+    # is built 3-D and contracted with a batched MXU matmul.
+    codes = codes_ref[:]            # (sub, 128) i32
+    u = u_ref[:]                    # (sub, 128) f32
     k = cb_ref.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, k), 1)
-    onehot = jnp.where(col_ids == codes[:, None], u[:, None], 0.0)  # VMEM only
+    col = jax.lax.broadcasted_iota(jnp.int32, codes.shape + (k,), 2)
+    onehot = jnp.where(col == codes[:, :, None], u[:, :, None], 0.0)  # VMEM only
     out_ref[:] = jax.lax.dot_general(
         onehot, cb_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+        # HIGHEST: default bf16 MXU passes would round u and the codewords
+        # (~0.4% relative error); decode must match the fp32 gather exactly.
+        precision=jax.lax.Precision.HIGHEST,
+    )                               # (sub, 128, dim)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
@@ -138,12 +142,14 @@ def hsq_decode(codes: jax.Array, u: jax.Array, codewords: jax.Array,
             pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, dim), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (sub, LANES, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad // LANES, LANES, dim), jnp.float32),
         interpret=interpret,
     )(
         codes.astype(jnp.int32).reshape(m_pad // LANES, LANES),
         u.astype(jnp.float32).reshape(m_pad // LANES, LANES),
         codewords,
     )
-    return out[:m]
+    return out.reshape(m_pad, dim)[:m]

@@ -45,17 +45,31 @@ def run_training(
     if config.use_pallas is None:
         config.use_pallas = jax.default_backend() == "tpu"
 
-    state, compressors, tx = create_train_state(config, model, sample, init_key)
+    state, plan, tx = create_train_state(config, model, sample, init_key)
 
     if config.backend == "mesh":
         from gqx.parallel.collectives import make_mesh_train_step
 
-        train_step, state = make_mesh_train_step(config, model, compressors, tx, state)
+        train_step, state = make_mesh_train_step(config, model, plan, tx, state)
     else:
-        train_step = make_train_step(config, model, compressors, tx)
+        train_step = make_train_step(config, model, plan, tx)
     eval_step = make_eval_step(model)
 
     logger = MetricLogger(config.logdir)
+
+    # bytes-on-wire accounting (packed payload sizes, gqx.ops.wire) — the
+    # reference only ever reports logical ratios (SURVEY.md §2.5)
+    total_params = sum(int(p.size) for p in jax.tree.leaves(state.params))
+    wire = plan.wire_bytes()
+    logger.scalars(
+        {"wire_bytes_per_user_step": wire,
+         "compression_ratio_vs_fp32": (4.0 * total_params) / max(wire, 1)},
+        0,
+    )
+    if progress:
+        print(f"wire: {wire/1e6:.3f} MB/user/step "
+              f"({4.0*total_params/max(wire,1):.1f}x vs fp32)")
+
     step_key = jax.random.PRNGKey(config.seed + 17)
 
     iteration = pipeline.steps_per_epoch

@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. cpu, tpu); with cpu, "
                         "--host-devices virtual devices are created")
     p.add_argument("--host-devices", type=int, default=8)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the latest checkpoint in --logdir")
     return p
 
 
@@ -110,7 +112,7 @@ def main(argv=None):
     cfg = config_from_args(args)
     from gqx.runner import run_training
 
-    run_training(cfg, epochs_override=args.epochs)
+    run_training(cfg, epochs_override=args.epochs, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -27,8 +27,14 @@ def run_training(
     epochs_override: Optional[int] = None,
     max_steps: Optional[int] = None,
     progress: bool = True,
+    resume: bool = False,
 ):
-    """Train per the reference schedules; returns (state, final_accuracy)."""
+    """Train per the reference schedules; returns (state, final_accuracy).
+
+    With ``resume=True`` and a checkpoint in ``config.logdir``, training
+    restarts from the epoch after the checkpointed one with full state
+    (params, BN stats, momentum, EF) — a capability the reference lacks
+    (its main.py:170-172 is save-only)."""
     from gqx.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -46,6 +52,17 @@ def run_training(
         config.use_pallas = jax.default_backend() == "tpu"
 
     state, plan, tx = create_train_state(config, model, sample, init_key)
+
+    start_epoch = 1
+    if resume and config.logdir:
+        from gqx.checkpoint import latest_checkpoint, restore_checkpoint
+
+        ckpt = latest_checkpoint(config.logdir)
+        if ckpt is not None:
+            state = restore_checkpoint(ckpt, state)
+            start_epoch = 1 + int(state.step) // max(1, pipeline.steps_per_epoch)
+            if progress:
+                print(f"resumed from {ckpt} at epoch {start_epoch}")
 
     if config.backend == "mesh":
         from gqx.parallel.collectives import make_mesh_train_step
@@ -77,7 +94,7 @@ def run_training(
     total_steps = 0
     t_start = time.time()
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         lr = jnp.float32(lr_at_epoch(epoch, base_lr, boundaries, lrs))
         scale = jnp.float32(config.ef_scale(epoch))
         log_points = {
@@ -104,6 +121,10 @@ def run_training(
                     )
             if max_steps is not None and total_steps >= max_steps:
                 break
+        if config.save_model and config.logdir:
+            from gqx.checkpoint import save_checkpoint
+
+            save_checkpoint(config.logdir, state, step=int(state.step))
         if max_steps is not None and total_steps >= max_steps:
             break
 
@@ -113,6 +134,6 @@ def run_training(
     if config.save_model and config.logdir:
         from gqx.checkpoint import save_checkpoint
 
-        save_checkpoint(config.logdir, state, step=total_steps)
+        save_checkpoint(config.logdir, state, step=int(state.step))
     logger.close()
     return state, accuracy

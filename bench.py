@@ -55,9 +55,11 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
         c_dim=16, k_bit=8, n_bit=6, num_users=8, batch_size=32, seed=1,
     )
     cfg.use_pallas = use_pallas
-    log(f"e2e: network={network} backend={jax.default_backend()} use_pallas={use_pallas}")
+    cfg.scan_blocks = os.environ.get("GQX_BENCH_SCAN", "1") == "1"
+    log(f"e2e: network={network} backend={jax.default_backend()} "
+        f"use_pallas={use_pallas} scan_blocks={cfg.scan_blocks}")
 
-    model = create_model(cfg.network, cfg.num_classes)
+    model = create_model(cfg.network, cfg.num_classes, cfg.scan_blocks)
     sample = jnp.zeros((cfg.batch_size, 32, 32, 3), jnp.float32)
     state, plan, tx = create_train_state(cfg, model, sample, jax.random.PRNGKey(0))
     train_step = make_train_step(cfg, model, plan, tx)

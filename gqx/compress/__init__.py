@@ -41,6 +41,10 @@ def make_compressor(name: str, size: int, shape: Tuple[int, ...], config) -> Com
         return SignSGDCompressor(size, shape)
     if name == "qsgd":
         return QSGDCompressor(size, shape, config.n_bit, config.c_dim, random)
+    if name == "terngrad":
+        # TernGrad == QSGD with n_bit=1 and whole-tensor bucket
+        # (reference README.md:21-26)
+        return QSGDCompressor(size, shape, 1, 0, random)
     if name == "hsq":
         return HSQCompressor(
             size, shape, config.c_dim, config.k_bit, config.n_bit, random,

@@ -29,6 +29,9 @@ QUANTIZER_CHOICES = (
     "sgd", "qsgd", "hsq", "sign", "topk",
     # exported-but-unregistered compressors (reference compressors/__init__.py:3-7)
     "pvq", "residual", "maurey",
+    # named alias: qsgd with n_bit=1 and a whole-tensor bucket
+    # (reference README.md:21-26)
+    "terngrad",
 )
 
 NETWORK_CHOICES = (
@@ -82,6 +85,9 @@ class GQConfig:
     grouping: str = "auto"            # 'auto': pack same-config leaves into one
                                       # compression unit (fewer/larger kernels);
                                       # 'none': strict per-layer parity
+    scan_blocks: bool = False         # ResNet: trace repeated stage blocks
+                                      # once via nn.scan (much faster XLA
+                                      # compile for ResNet-50+; same params)
     ring_mode: str = "chain"          # 'chain': reference-faithful sequential
                                       # chain (ring_quantizer.py semantics);
                                       # 'segmented': bandwidth-optimal

@@ -33,11 +33,13 @@ NETWORKS = {
 }
 
 
-def create_model(name: str, num_classes: int):
+def create_model(name: str, num_classes: int, scan_blocks: bool = False):
     if name not in NETWORKS:
         raise ValueError(f"unknown network {name!r}")
     if name == "fcn":
         return FCN(num_classes=num_classes)
     if name == "cnn":
         return CNN(num_classes=num_classes)
+    if name.startswith("resnet"):
+        return NETWORKS[name](num_classes=num_classes, scan_blocks=scan_blocks)
     return NETWORKS[name](num_classes=num_classes)

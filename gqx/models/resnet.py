@@ -59,39 +59,73 @@ class Bottleneck(nn.Module):
         return jnp.maximum(out + x, 0.0)
 
 
+class _RepeatedBlocks(nn.Module):
+    """Stride-1 tail blocks of a stage under nn.scan: one traced block body
+    instead of n-1 — shrinks the compiled HLO of deep ResNets by ~the stage
+    depth (XLA compile time on ResNet-50+ drops accordingly).  Parameters get
+    a stacked leading axis; total parameter count is unchanged, and
+    gqx.parallel.packing treats scanned leaves per-slice for the <=1000
+    passthrough rule so compression decisions match the unscanned layout."""
+
+    block: Type[nn.Module]
+    filters: int
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = self.block(filters=self.filters, stride=1)(carry, self.train)
+        return out, None
+
+
 class ResNet(nn.Module):
     block: Type[nn.Module]
     stage_sizes: Sequence[int]
     num_classes: int = 10
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = TorchConv(64, (3, 3))(x)
         x = jnp.maximum(BatchNorm()(x, train), 0.0)
         for i, (filters, blocks) in enumerate(zip((64, 128, 256, 512), self.stage_sizes)):
-            for j in range(blocks):
-                stride = (1 if i == 0 else 2) if j == 0 else 1
-                x = self.block(filters=filters, stride=stride)(x, train)
+            stride = 1 if i == 0 else 2
+            x = self.block(filters=filters, stride=stride)(x, train)
+            if blocks > 1:
+                if self.scan_blocks:
+                    scanned = nn.scan(
+                        _RepeatedBlocks,
+                        variable_axes={"params": 0, "batch_stats": 0},
+                        split_rngs={"params": True},
+                        length=blocks - 1,
+                        metadata_params={nn.PARTITION_NAME: None},
+                    )
+                    x, _ = scanned(
+                        block=self.block, filters=filters, train=train,
+                        name=f"stage{i}_scan",
+                    )(x, None)
+                else:
+                    for _ in range(blocks - 1):
+                        x = self.block(filters=filters, stride=1)(x, train)
         x = avg_pool(x, 4)
         x = x.reshape(x.shape[0], -1)
         return TorchDense(self.num_classes)(x)
 
 
-def ResNet18(num_classes=10):
-    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes)
+def ResNet18(num_classes=10, scan_blocks=False):
+    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes, scan_blocks)
 
 
-def ResNet34(num_classes=10):
-    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes)
+def ResNet34(num_classes=10, scan_blocks=False):
+    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes, scan_blocks)
 
 
-def ResNet50(num_classes=10):
-    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes)
+def ResNet50(num_classes=10, scan_blocks=False):
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, scan_blocks)
 
 
-def ResNet101(num_classes=10):
-    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes)
+def ResNet101(num_classes=10, scan_blocks=False):
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, scan_blocks)
 
 
-def ResNet152(num_classes=10):
-    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes)
+def ResNet152(num_classes=10, scan_blocks=False):
+    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, scan_blocks)

@@ -98,15 +98,26 @@ class UnitPlan:
 def plan_units(params: PyTree, config) -> UnitPlan:
     """Build the unit plan for a parameter/gradient pytree per config
     (quantizer, c_dim, grouping, passthrough_threshold)."""
-    leaves, treedef = jax.tree.flatten(params)
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    paths = ["/".join(str(getattr(k, "key", k)) for k in p) for p, _ in paths_leaves]
+    leaves = [l for _, l in paths_leaves]
     shapes = [tuple(p.shape) for p in leaves]
     sizes = [int(p.size) for p in leaves]
     threshold = int(getattr(config, "passthrough_threshold", 1000))
     grouping = getattr(config, "grouping", "auto")
     name = config.quantizer
 
-    passthrough_idx = [i for i, s in enumerate(sizes) if s <= threshold]
-    compressed_idx = [i for i, s in enumerate(sizes) if s > threshold]
+    # Leaves under an nn.scan carry a stacked leading axis (gqx.models.resnet
+    # _RepeatedBlocks); the <=1000-element passthrough rule is per *block
+    # slice* so decisions match the unscanned layout
+    # (reference ps_quantizer.py:17-20 is per layer).
+    def decision_size(i: int) -> int:
+        if "_scan" in paths[i] and len(shapes[i]) > 1:
+            return sizes[i] // shapes[i][0]
+        return sizes[i]
+
+    passthrough_idx = [i for i, s in enumerate(sizes) if decision_size(i) <= threshold]
+    compressed_idx = [i for i, s in enumerate(sizes) if decision_size(i) > threshold]
 
     units: List[Unit] = []
 
@@ -120,7 +131,9 @@ def plan_units(params: PyTree, config) -> UnitPlan:
 
     group_ok = (
         grouping != "none"
-        and name not in ("sgd",)
+        # whole-layer-bucket compressors must stay per-leaf: merging would
+        # change the bucket scope (terngrad always, qsgd/hsq when c_dim==0)
+        and name not in ("sgd", "terngrad")
         and not (name in ("qsgd", "hsq") and config.c_dim == 0)
     )
 

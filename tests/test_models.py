@@ -50,6 +50,32 @@ def test_batchnorm_stats_update():
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
 
+def test_scan_blocks_resnet_equivalent_structure():
+    """scan_blocks traces repeated blocks once; parameter totals and the
+    per-layer passthrough/compressed split must match the unscanned layout."""
+    from gqx.config import GQConfig
+    from gqx.parallel.packing import plan_units
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    cfg = GQConfig(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, dataset="synthetic")
+
+    totals = {}
+    for scan in (False, True):
+        model = create_model("resnet50", 10, scan_blocks=scan)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        assert param_count(variables["params"]) == 23520842
+        plan = plan_units(variables["params"], cfg)
+        compressed = sum(
+            u.size for u in plan.units
+            if type(u.compressor).__name__ != "IdenticalCompressor"
+        )
+        totals[scan] = compressed
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 10)
+    # same number of compressed elements in both layouts
+    assert totals[False] == totals[True], totals
+
+
 def test_big_models_construct():
     for name in ("resnet101", "resnet152", "vgg13", "vgg19"):
         model = create_model(name, num_classes=100)

@@ -33,13 +33,17 @@ NETWORKS = {
 }
 
 
-def create_model(name: str, num_classes: int, scan_blocks: bool = False):
+def create_model(name: str, num_classes: int, scan_blocks: bool = False,
+                 dtype: str = "float32"):
+    import jax.numpy as jnp
+
+    d = jnp.dtype(dtype) if isinstance(dtype, str) else dtype
     if name not in NETWORKS:
         raise ValueError(f"unknown network {name!r}")
     if name == "fcn":
-        return FCN(num_classes=num_classes)
+        return FCN(num_classes=num_classes, dtype=d)
     if name == "cnn":
         return CNN(num_classes=num_classes)
     if name.startswith("resnet"):
-        return NETWORKS[name](num_classes=num_classes, scan_blocks=scan_blocks)
-    return NETWORKS[name](num_classes=num_classes)
+        return NETWORKS[name](num_classes=num_classes, scan_blocks=scan_blocks, dtype=d)
+    return NETWORKS[name](num_classes=num_classes, dtype=d)

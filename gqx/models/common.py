@@ -6,13 +6,21 @@ match the reference models at init; layer shapes are matched exactly (see the
 per-model docstrings).  Data layout is NHWC (TPU-native), vs the reference's
 NCHW — parameter element counts are identical, which is what the <=1000
 passthrough rule keys on.
+
+``dtype`` is the computation dtype (bfloat16 rides the MXU at full rate);
+parameters are always stored float32 (flax casts at apply time), so gradients
+and the compression pipeline stay float32.
 """
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import random
+
+Dtype = Any
 
 
 def torch_kernel_init():
@@ -35,6 +43,7 @@ class TorchDense(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -42,6 +51,7 @@ class TorchDense(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init(),
             bias_init=torch_bias_init(fan_in),
         )(x)
@@ -55,6 +65,7 @@ class TorchConv(nn.Module):
     strides: tuple = (1, 1)
     padding: str | tuple = "SAME"
     use_bias: bool = False
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -65,18 +76,23 @@ class TorchConv(nn.Module):
             strides=self.strides,
             padding=self.padding,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init(),
             bias_init=torch_bias_init(fan_in),
         )(x)
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d parity: torch momentum 0.1 == flax momentum 0.9, eps 1e-5."""
+    """BatchNorm2d parity: torch momentum 0.1 == flax momentum 0.9, eps 1e-5.
+    Statistics are always accumulated in float32."""
+
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
         )(x)
 
 

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import typing
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -13,10 +15,11 @@ class FCN(nn.Module):
     num_classes: int = 10
     hidden: int = 256
     d_in: int = 784
+    dtype: typing.Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         del train
-        x = x.reshape(x.shape[0], -1)
-        h = jnp.maximum(TorchDense(self.hidden)(x), 0.0)
-        return TorchDense(self.num_classes)(h)
+        x = x.reshape(x.shape[0], -1).astype(self.dtype)
+        h = jnp.maximum(TorchDense(self.hidden, dtype=self.dtype)(x), 0.0)
+        return TorchDense(self.num_classes, dtype=self.dtype)(h).astype(jnp.float32)

@@ -10,7 +10,7 @@ All convs bias-free; shortcuts are 1x1 conv + BN when shape changes.
 
 from __future__ import annotations
 
-from typing import Sequence, Type
+from typing import Any, Sequence, Type
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,18 +22,20 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = TorchConv(self.filters, (3, 3), strides=(self.stride, self.stride))(x)
-        out = BatchNorm()(out, train)
+        d = self.dtype
+        out = TorchConv(self.filters, (3, 3), strides=(self.stride, self.stride), dtype=d)(x)
+        out = BatchNorm(d)(out, train)
         out = jnp.maximum(out, 0.0)
-        out = TorchConv(self.filters, (3, 3))(out)
-        out = BatchNorm()(out, train)
+        out = TorchConv(self.filters, (3, 3), dtype=d)(out)
+        out = BatchNorm(d)(out, train)
 
         if self.stride != 1 or x.shape[-1] != self.filters:
-            x = TorchConv(self.filters, (1, 1), strides=(self.stride, self.stride))(x)
-            x = BatchNorm()(x, train)
+            x = TorchConv(self.filters, (1, 1), strides=(self.stride, self.stride), dtype=d)(x)
+            x = BatchNorm(d)(x, train)
         return jnp.maximum(out + x, 0.0)
 
 
@@ -41,21 +43,23 @@ class Bottleneck(nn.Module):
     filters: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        d = self.dtype
         width = self.filters
         out_ch = self.filters * self.expansion
-        out = TorchConv(width, (1, 1))(x)
-        out = jnp.maximum(BatchNorm()(out, train), 0.0)
-        out = TorchConv(width, (3, 3), strides=(self.stride, self.stride))(out)
-        out = jnp.maximum(BatchNorm()(out, train), 0.0)
-        out = TorchConv(out_ch, (1, 1))(out)
-        out = BatchNorm()(out, train)
+        out = TorchConv(width, (1, 1), dtype=d)(x)
+        out = jnp.maximum(BatchNorm(d)(out, train), 0.0)
+        out = TorchConv(width, (3, 3), strides=(self.stride, self.stride), dtype=d)(out)
+        out = jnp.maximum(BatchNorm(d)(out, train), 0.0)
+        out = TorchConv(out_ch, (1, 1), dtype=d)(out)
+        out = BatchNorm(d)(out, train)
 
         if self.stride != 1 or x.shape[-1] != out_ch:
-            x = TorchConv(out_ch, (1, 1), strides=(self.stride, self.stride))(x)
-            x = BatchNorm()(x, train)
+            x = TorchConv(out_ch, (1, 1), strides=(self.stride, self.stride), dtype=d)(x)
+            x = BatchNorm(d)(x, train)
         return jnp.maximum(out + x, 0.0)
 
 
@@ -70,10 +74,11 @@ class _RepeatedBlocks(nn.Module):
     block: Type[nn.Module]
     filters: int
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry, _):
-        out = self.block(filters=self.filters, stride=1)(carry, self.train)
+        out = self.block(filters=self.filters, stride=1, dtype=self.dtype)(carry, self.train)
         return out, None
 
 
@@ -82,14 +87,17 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     num_classes: int = 10
     scan_blocks: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = TorchConv(64, (3, 3))(x)
-        x = jnp.maximum(BatchNorm()(x, train), 0.0)
+        d = self.dtype
+        x = x.astype(d)
+        x = TorchConv(64, (3, 3), dtype=d)(x)
+        x = jnp.maximum(BatchNorm(d)(x, train), 0.0)
         for i, (filters, blocks) in enumerate(zip((64, 128, 256, 512), self.stage_sizes)):
             stride = 1 if i == 0 else 2
-            x = self.block(filters=filters, stride=stride)(x, train)
+            x = self.block(filters=filters, stride=stride, dtype=d)(x, train)
             if blocks > 1:
                 if self.scan_blocks:
                     scanned = nn.scan(
@@ -100,32 +108,32 @@ class ResNet(nn.Module):
                         metadata_params={nn.PARTITION_NAME: None},
                     )
                     x, _ = scanned(
-                        block=self.block, filters=filters, train=train,
+                        block=self.block, filters=filters, train=train, dtype=d,
                         name=f"stage{i}_scan",
                     )(x, None)
                 else:
                     for _ in range(blocks - 1):
-                        x = self.block(filters=filters, stride=1)(x, train)
+                        x = self.block(filters=filters, stride=1, dtype=d)(x, train)
         x = avg_pool(x, 4)
         x = x.reshape(x.shape[0], -1)
-        return TorchDense(self.num_classes)(x)
+        return TorchDense(self.num_classes, dtype=d)(x).astype(jnp.float32)
 
 
-def ResNet18(num_classes=10, scan_blocks=False):
-    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes, scan_blocks)
+def ResNet18(num_classes=10, scan_blocks=False, dtype=jnp.float32):
+    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes, scan_blocks, dtype)
 
 
-def ResNet34(num_classes=10, scan_blocks=False):
-    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes, scan_blocks)
+def ResNet34(num_classes=10, scan_blocks=False, dtype=jnp.float32):
+    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes, scan_blocks, dtype)
 
 
-def ResNet50(num_classes=10, scan_blocks=False):
-    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, scan_blocks)
+def ResNet50(num_classes=10, scan_blocks=False, dtype=jnp.float32):
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, scan_blocks, dtype)
 
 
-def ResNet101(num_classes=10, scan_blocks=False):
-    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, scan_blocks)
+def ResNet101(num_classes=10, scan_blocks=False, dtype=jnp.float32):
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, scan_blocks, dtype)
 
 
-def ResNet152(num_classes=10, scan_blocks=False):
-    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, scan_blocks)
+def ResNet152(num_classes=10, scan_blocks=False, dtype=jnp.float32):
+    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, scan_blocks, dtype)

@@ -5,7 +5,7 @@ one linear classifier)."""
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Any, Sequence, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,30 +25,33 @@ CFG = {
 class VGG(nn.Module):
     cfg: Sequence[Union[int, str]]
     num_classes: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        d = self.dtype
+        x = x.astype(d)
         for entry in self.cfg:
             if entry == "M":
                 x = max_pool(x, 2)
             else:
-                x = TorchConv(int(entry), (3, 3), use_bias=True)(x)
-                x = jnp.maximum(BatchNorm()(x, train), 0.0)
+                x = TorchConv(int(entry), (3, 3), use_bias=True, dtype=d)(x)
+                x = jnp.maximum(BatchNorm(d)(x, train), 0.0)
         x = x.reshape(x.shape[0], -1)
-        return TorchDense(self.num_classes)(x)
+        return TorchDense(self.num_classes, dtype=d)(x).astype(jnp.float32)
 
 
-def vgg11(num_classes=10):
-    return VGG(CFG["VGG11"], num_classes)
+def vgg11(num_classes=10, dtype=jnp.float32):
+    return VGG(CFG["VGG11"], num_classes, dtype)
 
 
-def vgg13(num_classes=10):
-    return VGG(CFG["VGG13"], num_classes)
+def vgg13(num_classes=10, dtype=jnp.float32):
+    return VGG(CFG["VGG13"], num_classes, dtype)
 
 
-def vgg16(num_classes=10):
-    return VGG(CFG["VGG16"], num_classes)
+def vgg16(num_classes=10, dtype=jnp.float32):
+    return VGG(CFG["VGG16"], num_classes, dtype)
 
 
-def vgg19(num_classes=10):
-    return VGG(CFG["VGG19"], num_classes)
+def vgg19(num_classes=10, dtype=jnp.float32):
+    return VGG(CFG["VGG19"], num_classes, dtype)

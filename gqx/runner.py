@@ -43,7 +43,8 @@ def run_training(
         epochs = epochs_override
 
     pipeline = Pipeline(config)
-    model = create_model(config.network, config.num_classes, config.scan_blocks)
+    model = create_model(config.network, config.num_classes, config.scan_blocks,
+                         dtype=config.compute_dtype)
 
     sample = jnp.zeros((config.batch_size,) + pipeline.image_shape, jnp.float32)
     init_key = jax.random.PRNGKey(config.seed)

@@ -82,3 +82,36 @@ def test_big_models_construct():
         x = jnp.zeros((1, 32, 32, 3), jnp.float32)
         variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, train=False))
         assert "params" in variables
+
+
+@pytest.mark.parametrize("name", ["fcn", "resnet18", "vgg11", "dense"])
+def test_bfloat16_compute_keeps_fp32_params(name):
+    """bfloat16 compute dtype: params (and therefore gradients feeding the
+    compression pipeline) stay float32; logits are cast back to float32 and
+    stay close to the fp32 forward."""
+    shape = (2, 28, 28, 1) if name == "fcn" else (2, 32, 32, 3)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(shape), jnp.float32)
+
+    m32 = create_model(name, num_classes=10)
+    mbf = create_model(name, num_classes=10, dtype="bfloat16")
+    v = m32.init(jax.random.PRNGKey(0), x, train=False)
+    vb = mbf.init(jax.random.PRNGKey(0), x, train=False)
+    for p in jax.tree.leaves(vb["params"]):
+        assert p.dtype == jnp.float32
+    # identical init given identical keys
+    for a, b in zip(jax.tree.leaves(v["params"]), jax.tree.leaves(vb["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out32 = m32.apply(v, x, train=False)
+    outbf = mbf.apply(vb, x, train=False)
+    assert outbf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(outbf), atol=0.15, rtol=0.1)
+
+    # gradients are float32 (compression pipeline contract)
+    def loss_fn(params):
+        out = mbf.apply({**vb, "params": params}, x, train=False)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss_fn)(vb["params"])
+    for g in jax.tree.leaves(grads):
+        assert g.dtype == jnp.float32

@@ -56,10 +56,13 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     )
     cfg.use_pallas = use_pallas
     cfg.scan_blocks = os.environ.get("GQX_BENCH_SCAN", "1") == "1"
+    cfg.compute_dtype = os.environ.get("GQX_BENCH_DTYPE", "bfloat16")
     log(f"e2e: network={network} backend={jax.default_backend()} "
-        f"use_pallas={use_pallas} scan_blocks={cfg.scan_blocks}")
+        f"use_pallas={use_pallas} scan_blocks={cfg.scan_blocks} "
+        f"compute_dtype={cfg.compute_dtype}")
 
-    model = create_model(cfg.network, cfg.num_classes, cfg.scan_blocks)
+    model = create_model(cfg.network, cfg.num_classes, cfg.scan_blocks,
+                         dtype=cfg.compute_dtype)
     sample = jnp.zeros((cfg.batch_size, 32, 32, 3), jnp.float32)
     state, plan, tx = create_train_state(cfg, model, sample, jax.random.PRNGKey(0))
     train_step = make_train_step(cfg, model, plan, tx)

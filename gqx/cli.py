@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-devices", type=int, default=8)
     p.add_argument("--resume", action="store_true", default=False,
                    help="resume from the latest checkpoint in --logdir")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="dump an xprof trace of a few steady-state steps here")
+    p.add_argument("--profile-steps", type=int, default=5)
     return p
 
 
@@ -88,6 +91,8 @@ def config_from_args(args) -> GQConfig:
         compute_dtype=args.compute_dtype,
         data_dir=args.data_dir,
         use_pallas=None if args.use_pallas is None else bool(args.use_pallas),
+        profile_dir=args.profile_dir,
+        profile_steps=args.profile_steps,
     )
     if args.epochs is not None:
         cfg.epochs = args.epochs

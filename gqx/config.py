@@ -98,6 +98,9 @@ class GQConfig:
     use_pallas: Optional[bool] = None # None = auto (TPU only)
     mesh_axis: str = "users"
     eval_batch_count: Optional[int] = None  # limit eval batches (None = all)
+    profile_dir: Optional[str] = None # dump an xprof trace of a few steady-state
+                                      # steps here (view with xprof/tensorboard)
+    profile_steps: int = 5            # how many steps the trace covers
 
     def __post_init__(self):
         if self.dataset in DATASET_CLASSES:

@@ -73,3 +73,22 @@ def export_csv(logdir: str, out_path: Optional[str] = None) -> str:
             w.writerows(sorted(vals))
         written.append(p)
     return json.dumps(written)
+
+
+def export_tree(root: str) -> list:
+    """Walk a logs tree (the reference converter.py:54-68 walks
+    ``logs/{model}/{dataset}/{quantizer}/``) and export per-tag CSVs for
+    every run directory containing a scalars.csv."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if "scalars.csv" in filenames:
+            out.extend(json.loads(export_csv(dirpath)))
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    root = sys.argv[1] if len(sys.argv) > 1 else "logs"
+    for p in export_tree(root):
+        print(p)

@@ -101,16 +101,18 @@ def ps_aggregate(
         e = state.ef[ui] if ef_on else None
         se = state.server_ef[ui] if state.server_ef is not None else None
 
-        if ef_on:
-            dec, e_new = jax.vmap(
-                lambda g_u, k_u, e_u, comp=comp: _user_roundtrip(comp, g_u, e_u, scale, k_u)
-            )(g, user_keys, e)
-        else:
-            dec, e_new = jax.vmap(
-                lambda g_u, k_u, comp=comp: _user_roundtrip(comp, g_u, None, scale, k_u)
-            )(g, user_keys)
+        with jax.named_scope(f"unit{ui}_encode_decode"):
+            if ef_on:
+                dec, e_new = jax.vmap(
+                    lambda g_u, k_u, e_u, comp=comp: _user_roundtrip(comp, g_u, e_u, scale, k_u)
+                )(g, user_keys, e)
+            else:
+                dec, e_new = jax.vmap(
+                    lambda g_u, k_u, comp=comp: _user_roundtrip(comp, g_u, None, scale, k_u)
+                )(g, user_keys)
 
-        mean = jnp.mean(dec, axis=0)  # server reduce (reference ps_quantizer.py:48)
+        with jax.named_scope(f"unit{ui}_server_reduce"):
+            mean = jnp.mean(dec, axis=0)  # server reduce (reference ps_quantizer.py:48)
 
         if two_phase:
             # downlink recompression of the averaged gradient

@@ -93,6 +93,10 @@ def run_training(
     iteration = pipeline.steps_per_epoch
     accuracy = 0.0
     total_steps = 0
+    # xprof trace of steady-state steps (skips step 1 = compile); the named
+    # scopes in train.py/aggregate.py label fwd/bwd, encode/decode, reduce
+    profile_at = 2 if config.profile_dir else None
+    profiling = False
     t_start = time.time()
 
     for epoch in range(start_epoch, epochs + 1):
@@ -103,8 +107,18 @@ def run_training(
         }
         for batch_idx, (x, y) in enumerate(pipeline.train_epoch(epoch)):
             step_key, k = jax.random.split(step_key)
+            if profile_at is not None and total_steps + 1 == profile_at:
+                jax.block_until_ready(state.params)
+                jax.profiler.start_trace(config.profile_dir)
+                profiling = True
             state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), scale, lr, k)
             total_steps += 1
+            if profiling and total_steps >= profile_at + config.profile_steps - 1:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling, profile_at = False, None
+                if progress:
+                    print(f"xprof trace written to {config.profile_dir}")
             if (batch_idx + 1) in log_points:
                 test_loss, accuracy = evaluate(
                     eval_step, state,
@@ -129,6 +143,8 @@ def run_training(
         if max_steps is not None and total_steps >= max_steps:
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
     if progress:
         dt = time.time() - t_start
         print(f"done: {total_steps} steps in {dt:.1f}s ({total_steps/max(dt,1e-9):.2f} steps/s)")

@@ -93,14 +93,17 @@ def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y, scale, lr, key):
         # per-user forward/backward over the users axis
-        losses, grads, new_stats = jax.vmap(
-            lambda xu, yu: user_grads(state.params, state.batch_stats, xu, yu)
-        )(x, y)
+        with jax.named_scope("user_fwd_bwd"):
+            losses, grads, new_stats = jax.vmap(
+                lambda xu, yu: user_grads(state.params, state.batch_stats, xu, yu)
+            )(x, y)
 
-        agg_grads, agg_state = aggregator(grads, state.agg_state, scale, key)
+        with jax.named_scope("quantized_aggregate"):
+            agg_grads, agg_state = aggregator(grads, state.agg_state, scale, key)
 
-        updates, opt_state = tx.update(agg_grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        with jax.named_scope("sgd_update"):
+            updates, opt_state = tx.update(agg_grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
 
         # the reference's sequential per-user BN updates collapse to averaging
         # the per-user running stats (simulation detail, SURVEY.md §2.2)

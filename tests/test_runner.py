@@ -56,3 +56,22 @@ def test_training_is_deterministic():
     b, _ = run_training(cfg(), epochs_override=1, progress=False)
     for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_profile_trace_written(tmp_path):
+    prof = os.path.join(str(tmp_path), "xprof")
+    run_training(cfg(tmp_path, profile_dir=prof, profile_steps=2),
+                 epochs_override=1, progress=False)
+    found = [f for _, _, fs in os.walk(prof) for f in fs if f.endswith(".xplane.pb")]
+    assert found, "no xplane.pb written by jax.profiler"
+
+
+def test_export_tree_walks_runs(tmp_path):
+    from gqx.metrics import export_tree
+
+    for sub in ("fcn/synthetic/qsgd", "fcn/synthetic/sgd"):
+        d = os.path.join(str(tmp_path), sub)
+        run_training(cfg(None, logdir=d), epochs_override=1, progress=False)
+    out = export_tree(str(tmp_path))
+    assert len(out) >= 2
+    assert any(p.endswith("accuracypct.csv") for p in out)

@@ -51,7 +51,8 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     from gqx.train import create_train_state, make_train_step
 
     cfg = GQConfig(
-        network=network, dataset="synthetic", quantizer="hsq",
+        network=network, dataset="synthetic",
+        quantizer=os.environ.get("GQX_BENCH_QUANT", "hsq"),
         c_dim=16, k_bit=8, n_bit=6, num_users=8, batch_size=32, seed=1,
     )
     cfg.use_pallas = use_pallas
@@ -124,7 +125,7 @@ def measure_kernel_throughput() -> float:
 
 def child_main(kind: str, network: str):
     if kind == "e2e":
-        use_pallas = os.environ.get("GQX_BENCH_PALLAS", "0") == "1"
+        use_pallas = os.environ.get("GQX_BENCH_PALLAS", "1") == "1"
         sps = measure_e2e(network, use_pallas)
         print(json.dumps({"kind": "e2e", "network": network, "steps_per_sec": sps}))
     else:

@@ -49,6 +49,13 @@ class Compressor:
         """compress → decompress (the value the aggregators actually use)."""
         return self.decompress(self.compress(vec, key))
 
+    def decode_mean(self, sig: Sig) -> jax.Array:
+        """Decode a stacked batch of signatures (leading ``users`` axis on
+        every leaf) and return the mean decompressed tensor — the PS server
+        reduce (reference ps_quantizer.py:48).  Subclasses may fuse this
+        (HSQ decodes ONCE via an accumulated one-hot instead of per-user)."""
+        return jnp.mean(jax.vmap(self.decompress)(sig), axis=0)
+
     # -- wire accounting ----------------------------------------------------
     @property
     def wire_bits(self) -> int:

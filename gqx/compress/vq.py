@@ -70,12 +70,34 @@ class HSQCompressor(Compressor):
         assert codebook.shape == (self.K, self.dim)
         self.codewords = jnp.asarray(codebook, dtype=jnp.float32)
 
+        # v2 flat-layout kernels (gqx.ops.pallas_hsq2): measured ~7x faster
+        # than the v1 (M, dim)-layout kernels on real TPU.  The codebook is
+        # rounded to bf16-exact values so the 2-pass bf16 matmul split is
+        # fp32-grade (see bf16_exact_codebook docstring).
+        from gqx.ops import pallas_hsq2 as hsq2
+
+        self.flat_ok = self.use_pallas and hsq2.supports_flat(self.dim, self.K)
+        if self.flat_ok:
+            cb = hsq2.bf16_exact_codebook(np.asarray(self.codewords))
+            self.codewords = jnp.asarray(cb)
+            self._eh, self._el = map(
+                jnp.asarray, hsq2.split_hi_lo(hsq2.expand_codebook(cb))
+            )
+            self._e2h, self._e2l = map(
+                jnp.asarray, hsq2.split_hi_lo(hsq2.expand_codebook_t(cb))
+            )
+
         self.compressed_norm = self.n_bit != 32
         self.norm_compressor = (
             ProbabilisticScalarCompressor(self.M, (self.M,), self.n_bit, random)
             if self.compressed_norm
             else None
         )
+
+    # kernel tile sizes, swept on v5e (scripts/sweep_tiles.py, /tmp logs)
+    _ENC_TILE_S = 256
+    _DEC_TILE_S = 512
+    _DECMEAN_TILE_S = 128
 
     # -- encode -------------------------------------------------------------
     _XLA_CHUNK_ROWS = 1 << 16  # caps the (chunk, K) product matrix in HBM
@@ -107,13 +129,23 @@ class HSQCompressor(Compressor):
         return u.reshape(-1)[:m], codes.reshape(-1)[:m]
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
-        rows = vec.reshape(-1, self.dim).astype(jnp.float32)
-        if self.use_pallas:
+        if self.flat_ok:
+            from gqx.ops.pallas_hsq2 import hsq_encode_flat
+
+            u, codes = hsq_encode_flat(
+                vec.reshape(-1).astype(jnp.float32), self._eh, self._el,
+                self.dim, tile_s=self._ENC_TILE_S, passes=2,
+            )
+        elif self.use_pallas:
             from gqx.ops.pallas_hsq import hsq_encode
 
-            u, codes = hsq_encode(rows, self.codewords)
+            u, codes = hsq_encode(
+                vec.reshape(-1, self.dim).astype(jnp.float32), self.codewords
+            )
         else:
-            u, codes = self._encode_xla(rows)
+            u, codes = self._encode_xla(
+                vec.reshape(-1, self.dim).astype(jnp.float32)
+            )
         sig: Sig = {"codes": codes.astype(code_dtype(self.k_bit))}
         if self.compressed_norm:
             sig["u"] = self.norm_compressor.compress(u, key)
@@ -128,6 +160,13 @@ class HSQCompressor(Compressor):
             u = self.norm_compressor.decompress(sig["u"])
         else:
             u = sig["u"]
+        if self.flat_ok:
+            from gqx.ops.pallas_hsq2 import hsq_decode_flat
+
+            return hsq_decode_flat(
+                codes, u, self._e2h, self._e2l, self.dim,
+                tile_s=self._DEC_TILE_S, passes=2,
+            ).reshape(self.shape)
         if self.use_pallas:
             from gqx.ops.pallas_hsq import hsq_decode
 
@@ -137,6 +176,24 @@ class HSQCompressor(Compressor):
 
             rows = hsq_decode_xla(codes, u, self.codewords)
         return rows.reshape(self.shape)
+
+    def decode_mean(self, sig: Sig) -> jax.Array:
+        """Fused PS server reduce: decode the U users' signatures ONCE via an
+        accumulated scaled one-hot (reference ps_quantizer.py:48 decodes U
+        times then means)."""
+        if not self.flat_ok:
+            return super().decode_mean(sig)
+        from gqx.ops.pallas_hsq2 import hsq_decode_mean
+
+        codes = sig["codes"].astype(jnp.int32)
+        if self.compressed_norm:
+            u = jax.vmap(self.norm_compressor.decompress)(sig["u"])
+        else:
+            u = sig["u"]
+        return hsq_decode_mean(
+            codes, u, self._e2h, self._e2l, self.dim,
+            tile_s=self._DECMEAN_TILE_S, passes=2,
+        ).reshape(self.shape)
 
     @property
     def wire_bits(self) -> int:

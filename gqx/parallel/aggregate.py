@@ -101,18 +101,24 @@ def ps_aggregate(
         e = state.ef[ui] if ef_on else None
         se = state.server_ef[ui] if state.server_ef is not None else None
 
-        with jax.named_scope(f"unit{ui}_encode_decode"):
-            if ef_on:
+        if ef_on:
+            with jax.named_scope(f"unit{ui}_encode_decode"):
                 dec, e_new = jax.vmap(
                     lambda g_u, k_u, e_u, comp=comp: _user_roundtrip(comp, g_u, e_u, scale, k_u)
                 )(g, user_keys, e)
-            else:
-                dec, e_new = jax.vmap(
-                    lambda g_u, k_u, comp=comp: _user_roundtrip(comp, g_u, None, scale, k_u)
+            with jax.named_scope(f"unit{ui}_server_reduce"):
+                mean = jnp.mean(dec, axis=0)  # server reduce (ps_quantizer.py:48)
+        else:
+            # no per-user decompressed values needed -> encode per user, then
+            # the compressor's (possibly fused) decode_mean does the server
+            # reduce in one pass
+            with jax.named_scope(f"unit{ui}_encode"):
+                sig = jax.vmap(
+                    lambda g_u, k_u, comp=comp: comp.compress(g_u, k_u)
                 )(g, user_keys)
-
-        with jax.named_scope(f"unit{ui}_server_reduce"):
-            mean = jnp.mean(dec, axis=0)  # server reduce (reference ps_quantizer.py:48)
+            with jax.named_scope(f"unit{ui}_decode_mean"):
+                mean = comp.decode_mean(sig)
+            e_new = None
 
         if two_phase:
             # downlink recompression of the averaged gradient

@@ -62,11 +62,11 @@ def _ps_unit_logical(comp, g_local, e_local, scale, keys, axis):
         dec, e_new = jax.vmap(
             lambda g, e, k: _user_roundtrip(comp, g, e, scale, k)
         )(g_local, e_local, keys)
+        local_mean = jnp.mean(dec, axis=0)
     else:
-        dec, e_new = jax.vmap(
-            lambda g, k: _user_roundtrip(comp, g, None, scale, k)
-        )(g_local, keys)
-    local_mean = jnp.mean(dec, axis=0)
+        sig = jax.vmap(lambda g, k: comp.compress(g, k))(g_local, keys)
+        local_mean = comp.decode_mean(sig)  # fused server reduce
+        e_new = None
     return jax.lax.pmean(local_mean, axis), e_new
 
 
@@ -91,8 +91,8 @@ def _ps_unit_packed(comp, g_local, e_local, scale, keys, axis):
     gathered = jax.tree.map(
         lambda w: jax.lax.all_gather(w, axis).reshape((-1,) + w.shape[1:]), wire
     )
-    dec_all = jax.vmap(lambda wu: comp.decompress(unpack_signature(comp, wu)))(gathered)
-    return jnp.mean(dec_all, axis=0), e_new
+    sig_all = jax.vmap(lambda wu: unpack_signature(comp, wu))(gathered)
+    return comp.decode_mean(sig_all), e_new
 
 
 def _two_phase_unit(comp, mean, server_e, scale, server_key):

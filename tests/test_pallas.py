@@ -46,3 +46,72 @@ def test_hsq_encode_vmap(rng):
         ui, ci = hsq_encode(rows[i], cb, tile_m=128, interpret=True)
         np.testing.assert_allclose(np.asarray(u[i]), np.asarray(ui), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(codes[i]), np.asarray(ci))
+
+
+# ---------------------------------------------------------------------------
+# v2 flat-layout kernels (gqx.ops.pallas_hsq2)
+# ---------------------------------------------------------------------------
+
+def _flat_refs(rng, dim, k, size):
+    from gqx.ops.pallas_hsq2 import (
+        bf16_exact_codebook, expand_codebook, expand_codebook_t, split_hi_lo,
+    )
+
+    cb = rng.standard_normal((k, dim)).astype(np.float32)
+    cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+    cb = bf16_exact_codebook(cb)
+    eh, el = map(jnp.asarray, split_hi_lo(expand_codebook(cb)))
+    e2h, e2l = map(jnp.asarray, split_hi_lo(expand_codebook_t(cb)))
+    flat = jnp.asarray(rng.standard_normal(size), jnp.float32)
+    return cb, eh, el, e2h, e2l, flat
+
+
+@pytest.mark.parametrize("dim,k,size", [(16, 256, 16 * 403), (32, 64, 32 * 77), (8, 32, 8 * 513)])
+def test_hsq2_encode_decode_match_reference_math(rng, dim, k, size):
+    from gqx.ops.pallas_hsq2 import hsq_decode_flat, hsq_encode_flat, supports_flat
+
+    assert supports_flat(dim, k)
+    cb, eh, el, e2h, e2l, flat = _flat_refs(rng, dim, k, size)
+    u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
+
+    rows = np.asarray(flat).reshape(-1, dim)
+    p = rows @ cb.T
+    want_codes = np.argmax(np.abs(p), axis=1)
+    np.testing.assert_array_equal(np.asarray(codes), want_codes)
+    want_u = np.take_along_axis(p, want_codes[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(u), want_u, rtol=3e-5, atol=3e-5)
+
+    dec = hsq_decode_flat(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
+    manual = cb[want_codes] * np.asarray(u)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(dec).reshape(-1, dim), manual, rtol=3e-5, atol=3e-5
+    )
+
+
+def test_hsq2_decode_mean_matches_per_user(rng):
+    from gqx.ops.pallas_hsq2 import hsq_decode_mean, hsq_encode_flat
+
+    dim, k, size, users = 16, 64, 16 * 200, 4
+    cb, eh, el, e2h, e2l, _ = _flat_refs(rng, dim, k, size)
+    flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
+    u, codes = jax.vmap(
+        lambda x: hsq_encode_flat(x, eh, el, dim, tile_s=8, passes=2, interpret=True)
+    )(flats)
+    got = hsq_decode_mean(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
+    want = np.mean(
+        [cb[np.asarray(c)] * np.asarray(uu)[:, None] for c, uu in zip(codes, u)],
+        axis=0,
+    ).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_hsq2_zero_rows_decode_to_zero(rng):
+    from gqx.ops.pallas_hsq2 import hsq_decode_flat, hsq_encode_flat
+
+    dim, k = 16, 64
+    cb, eh, el, e2h, e2l, flat = _flat_refs(rng, dim, k, 16 * 32)
+    flat = flat.at[: 16 * 5].set(0.0)  # first 5 subvectors all-zero
+    u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
+    assert np.all(np.asarray(u)[:5] == 0.0)
+    dec = hsq_decode_flat(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
+    assert np.all(np.asarray(dec)[: 16 * 5] == 0.0)

@@ -56,7 +56,10 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
         c_dim=16, k_bit=8, n_bit=6, num_users=8, batch_size=32, seed=1,
     )
     cfg.use_pallas = use_pallas
-    cfg.scan_blocks = os.environ.get("GQX_BENCH_SCAN", "1") == "1"
+    # unscanned ResNet + pallas encode compiles in ~30s and runs ~20% faster
+    # than scan_blocks (the historic 14-min compile was the chunked-XLA
+    # encode, retired by the v2 kernels)
+    cfg.scan_blocks = os.environ.get("GQX_BENCH_SCAN", "0") == "1"
     cfg.compute_dtype = os.environ.get("GQX_BENCH_DTYPE", "bfloat16")
     log(f"e2e: network={network} backend={jax.default_backend()} "
         f"use_pallas={use_pallas} scan_blocks={cfg.scan_blocks} "

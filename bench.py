@@ -74,19 +74,19 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((cfg.num_users, cfg.batch_size, 32, 32, 3)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 10, size=(cfg.num_users, cfg.batch_size)), jnp.int32)
-    scale, lr = jnp.float32(1.0), jnp.float32(0.1)
+    scale, lr, wd = jnp.float32(1.0), jnp.float32(0.1), jnp.float32(5e-4)
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     key, k = jax.random.split(key)
-    state, loss = train_step(state, x, y, scale, lr, k)
+    state, loss = train_step(state, x, y, scale, lr, wd, k)
     jax.block_until_ready(loss)
     log(f"compile+first step: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     for _ in range(STEPS_TIMED):
         key, k = jax.random.split(key)
-        state, loss = train_step(state, x, y, scale, lr, k)
+        state, loss = train_step(state, x, y, scale, lr, wd, k)
     jax.block_until_ready(loss)
     dt = time.time() - t0
     sps = STEPS_TIMED / dt

@@ -27,11 +27,12 @@ ENV_TRAIN_SIZE = "GQX_CODEBOOK_TRAIN_SIZE"
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_CACHE_DIR = os.path.join(_REPO_ROOT, "codebooks", "learned_codebook")
 
-# Read-only fallbacks (e.g. the reference's shipped data, which is data not code).
-EXTRA_SEARCH_DIRS = (
-    "./codebooks/learned_codebook",
-    "/root/reference/codebooks/learned_codebook",
-)
+# Read-only fallbacks.  The framework is self-hosted: all canonical
+# dim/K codebooks are committed under codebooks/learned_codebook/ (generated
+# by scripts/gen_codebooks.py).  Set GQX_REFERENCE_CODEBOOKS=/path/to/dir to
+# additionally search an external artifact family (data, not code).
+EXTRA_SEARCH_DIRS = ("./codebooks/learned_codebook",)
+ENV_REFERENCE_DIR = "GQX_REFERENCE_CODEBOOKS"
 
 
 def codebook_filename(dim: int, k: int) -> str:
@@ -47,6 +48,9 @@ def _search_dirs(extra: Optional[Sequence[str]] = None):
         dirs.append(env)
     dirs.append(DEFAULT_CACHE_DIR)
     dirs.extend(EXTRA_SEARCH_DIRS)
+    ref = os.environ.get(ENV_REFERENCE_DIR)
+    if ref:
+        dirs.append(ref)
     return dirs
 
 

@@ -30,9 +30,13 @@ from gqx.compress.vq import (  # noqa: F401
 )
 
 
-def make_compressor(name: str, size: int, shape: Tuple[int, ...], config) -> Compressor:
+def make_compressor(name: str, size: int, shape: Tuple[int, ...], config,
+                    norm_segment_sizes=None) -> Compressor:
     """Build one compressor from a GQConfig-like object (c_dim/k_bit/n_bit/
-    cr/random/use_pallas attributes)."""
+    cr/random/use_pallas attributes).  ``norm_segment_sizes`` (VQ families
+    only) segments the norm quantizer's min/max range per original leaf
+    inside a grouped unit (strict per-layer parity, see
+    ProbabilisticScalarCompressor)."""
     random = bool(getattr(config, "random", True))
     use_pallas = bool(getattr(config, "use_pallas", False) or False)
     if name == "sgd":
@@ -48,16 +52,17 @@ def make_compressor(name: str, size: int, shape: Tuple[int, ...], config) -> Com
     if name == "hsq":
         return HSQCompressor(
             size, shape, config.c_dim, config.k_bit, config.n_bit, random,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, norm_segment_sizes=norm_segment_sizes,
         )
     if name == "pvq":
         return ProbabilisticVectorCompressor(
-            size, shape, config.c_dim, config.k_bit, config.n_bit, random
+            size, shape, config.c_dim, config.k_bit, config.n_bit, random,
+            norm_segment_sizes=norm_segment_sizes,
         )
     if name == "residual":
         return ResidualCompressor(
             size, shape, config.c_dim, config.k_bit, config.n_bit, random,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, norm_segment_sizes=norm_segment_sizes,
         )
     if name == "topk":
         return TopKCompressor(size, shape, config.cr)

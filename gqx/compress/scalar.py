@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gqx.compress.api import (
     Compressor,
@@ -70,22 +71,58 @@ class ProbabilisticScalarCompressor(Compressor):
     Degenerate range (upper == lower) yields l = 0, which decompresses to
     ``lower`` exactly as the reference's early-out (its :15-16) does.
     decompress: l * (upper-lower)/s + lower.
+
+    ``segment_sizes`` restores strict per-layer parity inside grouped
+    compression units: the min/max range is computed per contiguous segment
+    (= per original leaf) instead of over the whole group, exactly like the
+    reference's one-compressor-per-layer setup (its ps_quantizer.py:15-20);
+    the wire then carries 2 range scalars per segment, matching the
+    reference's 2-per-tensor accounting.
     """
 
     stochastic = True
 
-    def __init__(self, size: int, shape: Tuple[int, ...], n_bit: int, random: bool = True):
+    def __init__(
+        self,
+        size: int,
+        shape: Tuple[int, ...],
+        n_bit: int,
+        random: bool = True,
+        segment_sizes: Optional[Tuple[int, ...]] = None,
+    ):
         super().__init__(size, shape)
         self.n_bit = int(n_bit)
         self.s = 2 ** int(n_bit)
         self.random = bool(random)
+        self.segment_sizes = tuple(segment_sizes) if segment_sizes else None
+        if self.segment_sizes:
+            assert sum(self.segment_sizes) == size, (self.segment_sizes, size)
+            self.n_segments = len(self.segment_sizes)
+            self.segment_ids = jnp.asarray(
+                np.repeat(np.arange(self.n_segments), self.segment_sizes), jnp.int32
+            )
+        else:
+            self.n_segments = 1
+            self.segment_ids = None
+
+    def _bounds(self, vec):
+        """(lower, upper) per segment, plus the per-element broadcasts."""
+        if self.segment_ids is None:
+            lower, upper = jnp.min(vec), jnp.max(vec)
+            return lower, upper, lower, upper
+        lower = jax.ops.segment_min(
+            vec, self.segment_ids, num_segments=self.n_segments, indices_are_sorted=True
+        )
+        upper = jax.ops.segment_max(
+            vec, self.segment_ids, num_segments=self.n_segments, indices_are_sorted=True
+        )
+        return lower, upper, lower[self.segment_ids], upper[self.segment_ids]
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
-        lower = jnp.min(vec)
-        upper = jnp.max(vec)
-        span = upper - lower
+        lower, upper, lo_e, up_e = self._bounds(vec)
+        span = up_e - lo_e
         scaled = jnp.where(
-            span == 0.0, 0.0, jnp.abs((vec - lower) / jnp.where(span == 0.0, 1.0, span)) * self.s
+            span == 0.0, 0.0, jnp.abs((vec - lo_e) / jnp.where(span == 0.0, 1.0, span)) * self.s
         )
         l = jnp.clip(scaled, 0, self.s - 1).astype(jnp.int32)
         if self.random:
@@ -94,12 +131,15 @@ class ProbabilisticScalarCompressor(Compressor):
         return {"lower": lower, "upper": upper, "l": l}
 
     def decompress(self, sig) -> jax.Array:
-        span = sig["upper"] - sig["lower"]
-        return sig["l"].astype(jnp.float32) * span / self.s + sig["lower"]
+        lower, upper = sig["lower"], sig["upper"]
+        if self.segment_ids is not None:
+            lower, upper = lower[self.segment_ids], upper[self.segment_ids]
+        span = upper - lower
+        return sig["l"].astype(jnp.float32) * span / self.s + lower
 
     @property
     def wire_bits(self) -> int:
-        return 2 * 32 + self.n_bit * self.size
+        return 2 * 32 * self.n_segments + self.n_bit * self.size
 
 
 class QSGDCompressor(Compressor):

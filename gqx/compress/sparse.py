@@ -78,7 +78,10 @@ class MaureySparsificationCompressor(Compressor):
         cdf = jnp.cumsum(jnp.abs(flat) / safe_l1)
         r = jax.random.uniform(key, (self.k,))
         codes = jnp.clip(jnp.searchsorted(cdf, r), 0, self.size - 1).astype(jnp.int32)
-        signs = jnp.sign(flat[codes])
+        # Strict ±1 signs: a sampled coordinate has |v| > 0 with probability 1
+        # (p_i ∝ |v_i|), so sign(v)=0 only on measure-zero searchsorted
+        # boundary clips; mapping it to +1 keeps the 1-bit wire sign lossless.
+        signs = jnp.where(flat[codes] >= 0, 1.0, -1.0)
         return {"scale": l1 / self.k, "codes": codes, "signs": signs}
 
     def decompress(self, sig) -> jax.Array:

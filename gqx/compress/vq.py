@@ -51,6 +51,7 @@ class HSQCompressor(Compressor):
         codebook: Optional[np.ndarray] = None,
         codebook_seed: int = 1,
         use_pallas: bool = False,
+        norm_segment_sizes: Optional[Tuple[int, ...]] = None,
     ):
         super().__init__(size, shape)
         assert c_dim > 0 and k_bit >= 0 and n_bit > 0
@@ -89,7 +90,10 @@ class HSQCompressor(Compressor):
 
         self.compressed_norm = self.n_bit != 32
         self.norm_compressor = (
-            ProbabilisticScalarCompressor(self.M, (self.M,), self.n_bit, random)
+            ProbabilisticScalarCompressor(
+                self.M, (self.M,), self.n_bit, random,
+                segment_sizes=norm_segment_sizes,
+            )
             if self.compressed_norm
             else None
         )
@@ -146,7 +150,7 @@ class HSQCompressor(Compressor):
             u, codes = self._encode_xla(
                 vec.reshape(-1, self.dim).astype(jnp.float32)
             )
-        sig: Sig = {"codes": codes.astype(code_dtype(self.k_bit))}
+        sig: Sig = {"codes": codes.astype(code_dtype(self.code_bits))}
         if self.compressed_norm:
             sig["u"] = self.norm_compressor.compress(u, key)
         else:
@@ -196,9 +200,16 @@ class HSQCompressor(Compressor):
         ).reshape(self.shape)
 
     @property
+    def code_bits(self) -> int:
+        """Physical bits per code = ceil(log2(K)).  Equals k_bit when
+        k_bit > 0; for the k_bit == 0 orthonormal case (K == dim, reference
+        nearest_neighbor_compressor.py:40-46) codes still span [0, dim)."""
+        return max((self.K - 1).bit_length(), 1)
+
+    @property
     def wire_bits(self) -> int:
         norm_bits = (2 * 32 + self.n_bit * self.M) if self.compressed_norm else 32 * self.M
-        return self.k_bit * self.M + norm_bits
+        return self.code_bits * self.M + norm_bits
 
 
 def _inverse_cdf_sample(prob: jax.Array, r: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -231,6 +242,7 @@ class ProbabilisticVectorCompressor(Compressor):
         random: bool = True,
         codebook: Optional[np.ndarray] = None,
         codebook_seed: int = 1,
+        norm_segment_sizes: Optional[Tuple[int, ...]] = None,
     ):
         super().__init__(size, shape)
         assert c_dim > 0 and k_bit > 0 and n_bit > 0
@@ -255,7 +267,10 @@ class ProbabilisticVectorCompressor(Compressor):
         )
         self.compressed_norm = self.n_bit != 32
         self.norm_compressor = (
-            ProbabilisticScalarCompressor(self.M, (self.M,), self.n_bit, random)
+            ProbabilisticScalarCompressor(
+                self.M, (self.M,), self.n_bit, random,
+                segment_sizes=norm_segment_sizes,
+            )
             if self.compressed_norm
             else None
         )
@@ -275,7 +290,7 @@ class ProbabilisticVectorCompressor(Compressor):
         codes = _inverse_cdf_sample(prob, r)
         selected = jnp.take_along_axis(p, codes[:, None], axis=1)[:, 0]
         u = jnp.sign(selected) * l1
-        sig: Sig = {"codes": codes.astype(code_dtype(self.k_bit))}
+        sig: Sig = {"codes": codes.astype(code_dtype(self.code_bits))}
         if self.compressed_norm:
             sig["u"] = self.norm_compressor.compress(u, k_norm)
         else:
@@ -293,9 +308,13 @@ class ProbabilisticVectorCompressor(Compressor):
         return hsq_decode_xla(codes, u, self.codewords).reshape(self.shape)
 
     @property
+    def code_bits(self) -> int:
+        return max((self.K - 1).bit_length(), 1)
+
+    @property
     def wire_bits(self) -> int:
         norm_bits = (2 * 32 + self.n_bit * self.M) if self.compressed_norm else 32 * self.M
-        return self.k_bit * self.M + norm_bits
+        return self.code_bits * self.M + norm_bits
 
 
 class ResidualCompressor(Compressor):
@@ -305,11 +324,14 @@ class ResidualCompressor(Compressor):
 
     stochastic = True
 
-    def __init__(self, size, shape, c_dim, k_bit, n_bit, random=True, **kw):
+    def __init__(self, size, shape, c_dim, k_bit, n_bit, random=True,
+                 norm_segment_sizes=None, **kw):
         super().__init__(size, shape)
         self.stages = (
-            HSQCompressor(size, shape, c_dim, k_bit, n_bit, random, **kw),
-            ProbabilisticVectorCompressor(size, shape, c_dim, k_bit, n_bit, random),
+            HSQCompressor(size, shape, c_dim, k_bit, n_bit, random,
+                          norm_segment_sizes=norm_segment_sizes, **kw),
+            ProbabilisticVectorCompressor(size, shape, c_dim, k_bit, n_bit, random,
+                                          norm_segment_sizes=norm_segment_sizes),
         )
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:

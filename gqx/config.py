@@ -22,6 +22,9 @@ DATASET_CLASSES = {
     "svhn": 10,
     "tinyimg": 200,
     "synthetic": 10,
+    # real handwritten digits bundled with scikit-learn (offline MNIST
+    # stand-in for convergence-parity runs; gqx/data/datasets.py)
+    "digits": 10,
 }
 
 QUANTIZER_CHOICES = (
@@ -127,7 +130,7 @@ def resolve_schedule(config: GQConfig) -> Tuple[int, float, Sequence[int], Seque
     weight_decay = config.weight_decay
     base_lr = config.lr
 
-    if config.dataset == "mnist":
+    if config.dataset in ("mnist", "digits"):
         epochs, boundaries, lrs = 20, (), ()
     elif config.dataset == "tinyimg":
         epochs, boundaries, lrs = 1000, (51,), (0.01,)
@@ -152,3 +155,14 @@ def lr_at_epoch(epoch: int, base_lr: float, boundaries: Sequence[int], lrs: Sequ
         if epoch >= b:
             lr = v
     return lr
+
+
+def wd_at_epoch(epoch: int, initial_wd: float, boundaries: Sequence[int]) -> float:
+    """Reference quirk: every optimizer swap at an LR boundary re-hardcodes
+    weight_decay=5e-4 (reference main.py:160-163) — including for SignSGD,
+    whose wd=0.1 override (main.py:153) is silently replaced from the first
+    boundary epoch onward."""
+    for b in boundaries:
+        if epoch >= b:
+            return 5e-4
+    return initial_wd

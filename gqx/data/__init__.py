@@ -18,7 +18,14 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 from gqx.data.datasets import LOADERS, load_dataset
-from gqx.data.transforms import AUGMENT, STATS, augment_batch, normalize
+from gqx.data.transforms import (
+    AUGMENT,
+    STATS,
+    TINYIMG_SIZE,
+    augment_batch,
+    normalize,
+    resize_center_crop,
+)
 
 
 class Pipeline:
@@ -51,7 +58,9 @@ class Pipeline:
         order = rng.permutation(len(self.train_x))
         for step in range(self.steps_per_epoch):
             idx = order[step * self.global_batch : (step + 1) * self.global_batch]
-            if self._native is not None:
+            if self._native is not None and self.dataset != "tinyimg":
+                # the native kernel covers pad/crop/flip/normalize; tinyimg's
+                # RandomResizedCrop(224) runs on the numpy path
                 x = self._native.augment_batch(self.train_x[idx], self.dataset, rng)
             else:
                 x = augment_batch(self.train_x[idx], self.dataset, rng)
@@ -66,7 +75,12 @@ class Pipeline:
         n = len(self.test_x)
         count = 0
         for start in range(0, n, self.test_batch_size):
-            x = normalize(self.test_x[start : start + self.test_batch_size], self.dataset)
+            x = self.test_x[start : start + self.test_batch_size]
+            if self.dataset == "tinyimg":
+                # eval stack Resize(256) + CenterCrop(224)
+                # (reference dataloaders.py:154-155)
+                x = resize_center_crop(x, 256, TINYIMG_SIZE)
+            x = normalize(x, self.dataset)
             y = self.test_y[start : start + self.test_batch_size].astype(np.int32)
             yield x, y
             count += 1
@@ -75,4 +89,8 @@ class Pipeline:
 
     @property
     def image_shape(self):
+        if self.dataset == "tinyimg":
+            # images are stored at load resolution; the train/eval transforms
+            # emit 224px (reference dataloaders.py:141,154-155)
+            return (TINYIMG_SIZE, TINYIMG_SIZE, 3)
         return tuple(self.train_x.shape[1:])

@@ -139,6 +139,29 @@ def load_tinyimagenet(data_dir: str, size: int = 64) -> Tuple[Split, Split]:
     return split("train"), split("val")
 
 
+def load_digits_data(data_dir: str = "", image_size: int = 28) -> Tuple[Split, Split]:
+    """Real handwritten-digit images bundled with scikit-learn (UCI ML
+    hand-written digits, 1797 samples, 10 classes, 8x8 grayscale) — the
+    offline stand-in for MNIST when no raw MNIST files are present.
+    Upscaled bilinearly to 28x28 so the reference's 784-input FCN
+    (reference models/fcn.py:5-24) applies unchanged.  Deterministic
+    shuffled split: 1500 train / 297 test."""
+    from PIL import Image
+    from sklearn.datasets import load_digits as _sk_digits
+
+    d = _sk_digits()
+    imgs8 = (d.images / 16.0 * 255.0).astype(np.uint8)  # (1797, 8, 8)
+    up = np.stack([
+        np.asarray(Image.fromarray(im).resize((image_size, image_size), Image.BILINEAR))
+        for im in imgs8
+    ])
+    y = d.target.astype(np.int64)
+    order = np.random.default_rng(0).permutation(len(up))
+    up, y = up[order][..., None], y[order]
+    n_train = 1500
+    return (up[:n_train], y[:n_train]), (up[n_train:], y[n_train:])
+
+
 def load_synthetic(
     data_dir: str = "",
     num_train: int = 4096,
@@ -171,6 +194,7 @@ LOADERS = {
     "svhn": load_svhn,
     "tinyimg": load_tinyimagenet,
     "synthetic": load_synthetic,
+    "digits": load_digits_data,
 }
 
 

@@ -60,7 +60,10 @@ def _pack_prob_scalar(comp: ProbabilisticScalarCompressor, sig) -> Wire:
 
 
 def _unpack_prob_scalar(comp: ProbabilisticScalarCompressor, wire: Wire):
-    bounds = words_to_f32(wire["bounds"], (2,))
+    if comp.segment_ids is not None:
+        bounds = words_to_f32(wire["bounds"], (2, comp.n_segments))
+    else:
+        bounds = words_to_f32(wire["bounds"], (2,))
     l = unpack_uint(wire["l"], _level_bits(comp), comp.size).astype(jnp.int32)
     return {"lower": bounds[0], "upper": bounds[1], "l": l.reshape(comp.shape)}
 
@@ -96,7 +99,7 @@ def pack_signature(comp, sig) -> Wire:
         return _pack_prob_scalar(comp, sig)
     if isinstance(comp, (HSQCompressor, ProbabilisticVectorCompressor)):
         out = {"codes": pack_uint(sig["codes"].reshape(-1).astype(jnp.uint32),
-                                  max(comp.k_bit, 1))}
+                                  comp.code_bits)}
         out.update(_pack_vq_u(comp, sig))
         return out
     if isinstance(comp, ResidualCompressor):
@@ -139,9 +142,9 @@ def unpack_signature(comp, wire: Wire):
     if isinstance(comp, (HSQCompressor, ProbabilisticVectorCompressor)):
         from gqx.compress.api import code_dtype
 
-        codes = unpack_uint(wire["codes"], max(comp.k_bit, 1), comp.M)
+        codes = unpack_uint(wire["codes"], comp.code_bits, comp.M)
         return {
-            "codes": codes.astype(code_dtype(comp.k_bit)),
+            "codes": codes.astype(code_dtype(comp.code_bits)),
             "u": _unpack_vq_u(comp, wire),
         }
     if isinstance(comp, ResidualCompressor):
@@ -177,12 +180,14 @@ def wire_bytes(comp) -> int:
             comp.M + packed_words(comp.size, 1) + packed_words(comp.size, _level_bits(comp))
         )
     if isinstance(comp, ProbabilisticScalarCompressor):
-        return 4 * (2 + packed_words(comp.size, _level_bits(comp)))
+        # 2 range scalars per segment (segments = original leaves in grouped
+        # units; 1 segment = the reference's 2-per-tensor accounting)
+        return 4 * (2 * comp.n_segments + packed_words(comp.size, _level_bits(comp)))
     if isinstance(comp, (HSQCompressor, ProbabilisticVectorCompressor)):
         u_bytes = (
             wire_bytes(comp.norm_compressor) if comp.compressed_norm else 4 * comp.M
         )
-        return 4 * packed_words(comp.M, max(comp.k_bit, 1)) + u_bytes
+        return 4 * packed_words(comp.M, comp.code_bits) + u_bytes
     if isinstance(comp, ResidualCompressor):
         return sum(wire_bytes(s) for s in comp.stages)
     if isinstance(comp, TopKCompressor):

@@ -253,7 +253,7 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, grads, new_stats
 
-    def sharded_body(params, batch_stats, opt_state, agg_state, x, y, scale, lr, key):
+    def sharded_body(params, batch_stats, opt_state, agg_state, x, y, scale, lr, wd, key):
         # x: (U_local, B, ...) on this device
         losses, grads, new_stats = jax.vmap(
             lambda xu, yu: user_grads(params, batch_stats, xu, yu)
@@ -306,7 +306,8 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
             server_ef=server_out if server_on else None,
         )
 
-        updates, new_opt_state = tx.update(agg_grads, opt_state, params)
+        decayed = jax.tree.map(lambda g, p: g + wd * p, agg_grads, params)
+        updates, new_opt_state = tx.update(decayed, opt_state, params)
         new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
         local_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
         new_batch_stats = jax.tree.map(lambda s: jax.lax.pmean(s, axis), local_stats)
@@ -333,17 +334,17 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
         mesh=mesh,
         in_specs=(
             params_spec, stats_spec, opt_spec, agg_spec,
-            users_first, users_first, replicated, replicated, replicated,
+            users_first, users_first, replicated, replicated, replicated, replicated,
         ),
         out_specs=(params_spec, stats_spec, opt_spec, agg_spec, replicated),
         check_vma=False,
     )
 
     @jax.jit
-    def train_step(state: TrainState, x, y, scale, lr, key):
+    def train_step(state: TrainState, x, y, scale, lr, wd, key):
         params, batch_stats, opt_state, agg_state, loss = body(
             state.params, state.batch_stats, state.opt_state, state.agg_state,
-            x, y, scale, lr, key,
+            x, y, scale, lr, wd, key,
         )
         return (
             TrainState(params, batch_stats, opt_state, agg_state, state.step + 1),

@@ -15,10 +15,12 @@ matmuls.  Here leaves are packed into units:
   - ragged leaves (size % c_dim != 0) -> individual units with the
     reference's dim fixup.
 
-Semantic deltas vs strict per-layer compression (only in grouped mode):
-the min/max range of the norm quantizer and top-k / Maurey budgets span the
-group instead of one layer.  ``grouping='none'`` restores exact per-leaf
-behavior (used by the parity tests).
+Semantic deltas vs strict per-layer compression (only in grouped mode): the
+top-k / Maurey budgets span the group instead of one layer.  The VQ-family
+norm quantizer is NOT a delta: its min/max ranges are segmented per original
+leaf inside the grouped unit (``norm_segment_sizes``), bit-matching the
+reference's per-layer ranges.  ``grouping='none'`` restores exact per-leaf
+behavior for everything (used by the parity tests).
 
 TernGrad-style whole-layer buckets (c_dim == 0) always stay per-leaf — a
 merged bucket would change the math.
@@ -148,7 +150,21 @@ def plan_units(params: PyTree, config) -> UnitPlan:
         ragged = [i for i in compressed_idx if i not in aligned]
         if aligned:
             total = sum(sizes[i] for i in aligned)
-            comp = make_compressor(name, total, (total,), config)
+            norm_segments = None
+            if name in ("hsq", "pvq", "residual"):
+                # Per-leaf norm-range segments: the grouped unit's subvector
+                # grid aligns with leaf boundaries (every member size is
+                # divisible by c_dim), so the norm quantizer's min/max can be
+                # computed per original leaf — exact parity with the
+                # reference's one-compressor-per-layer ranges
+                # (reference probabilistic_scalar_compressor.py:13-14).
+                from gqx.compress.api import subvector_dim
+
+                dim = subvector_dim(total, config.c_dim)
+                assert all(sizes[i] % dim == 0 for i in aligned), dim
+                norm_segments = tuple(sizes[i] // dim for i in aligned)
+            comp = make_compressor(name, total, (total,), config,
+                                   norm_segment_sizes=norm_segments)
             units.append(Unit(tuple(aligned), tuple(sizes[i] for i in aligned), comp))
         for i in ragged:
             leaf_unit(i, name)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gqx.config import GQConfig, lr_at_epoch, resolve_schedule
+from gqx.config import GQConfig, lr_at_epoch, resolve_schedule, wd_at_epoch
 from gqx.data import Pipeline
 from gqx.metrics import MetricLogger
 from gqx.models import create_model
@@ -38,9 +38,13 @@ def run_training(
     from gqx.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    epochs, base_lr, boundaries, lrs, _, _ = resolve_schedule(config)
+    epochs, base_lr, boundaries, lrs, _, initial_wd = resolve_schedule(config)
     if epochs_override is not None:
         epochs = epochs_override
+    else:
+        # reference quirk: the epoch loop is range(1, epochs + 2)
+        # (reference main.py:159) — one extra epoch beyond the schedule table
+        epochs = epochs + 1
 
     pipeline = Pipeline(config)
     model = create_model(config.network, config.num_classes, config.scan_blocks,
@@ -101,6 +105,7 @@ def run_training(
 
     for epoch in range(start_epoch, epochs + 1):
         lr = jnp.float32(lr_at_epoch(epoch, base_lr, boundaries, lrs))
+        wd = jnp.float32(wd_at_epoch(epoch, initial_wd, boundaries))
         scale = jnp.float32(config.ef_scale(epoch))
         log_points = {
             iteration // config.log_epoch * (i + 1) for i in range(config.log_epoch)
@@ -111,7 +116,7 @@ def run_training(
                 jax.block_until_ready(state.params)
                 jax.profiler.start_trace(config.profile_dir)
                 profiling = True
-            state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), scale, lr, k)
+            state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), scale, lr, wd, k)
             total_steps += 1
             if profiling and total_steps >= profile_at + config.profile_steps - 1:
                 jax.block_until_ready(loss)

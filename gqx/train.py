@@ -47,11 +47,11 @@ def create_train_state(config, model, sample_input, key) -> Tuple[TrainState, Un
 
     from gqx.config import resolve_schedule
 
-    _, _, _, _, momentum, weight_decay = resolve_schedule(config)
-    tx = optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.trace(decay=momentum, nesterov=False),
-    )
+    _, _, _, _, momentum, _ = resolve_schedule(config)
+    # Weight decay is applied inline in the train step (g + wd*p) so it can
+    # follow the reference's boundary-epoch re-hardcode (config.wd_at_epoch);
+    # add_decayed_weights(wd) -> trace is equivalent when wd is constant.
+    tx = optax.trace(decay=momentum, nesterov=False)
     opt_state = tx.init(params)
     plan = plan_units(params, config)
     agg_state = init_state(plan, config.num_users, config.ef, config.two_phase)
@@ -91,7 +91,7 @@ def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
         return loss, grads, new_stats
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x, y, scale, lr, key):
+    def train_step(state: TrainState, x, y, scale, lr, wd, key):
         # per-user forward/backward over the users axis
         with jax.named_scope("user_fwd_bwd"):
             losses, grads, new_stats = jax.vmap(
@@ -102,7 +102,8 @@ def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
             agg_grads, agg_state = aggregator(grads, state.agg_state, scale, key)
 
         with jax.named_scope("sgd_update"):
-            updates, opt_state = tx.update(agg_grads, state.opt_state, state.params)
+            decayed = jax.tree.map(lambda g, p: g + wd * p, agg_grads, state.params)
+            updates, opt_state = tx.update(decayed, state.opt_state, state.params)
             params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
 
         # the reference's sequential per-user BN updates collapse to averaging
@@ -126,14 +127,17 @@ def make_eval_step(model) -> Callable:
         logits = model.apply(variables, x, train=False)
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         correct = jnp.sum(jnp.argmax(logits, axis=-1) == y)
-        return jnp.sum(loss), correct
+        return jnp.mean(loss), correct
 
     return eval_step
 
 
 def evaluate(eval_step, state: TrainState, batches) -> Tuple[float, float]:
     """Full test-set eval (reference main.py:236-255): returns
-    (mean_loss, accuracy)."""
+    (loss, accuracy).  Loss reproduces the reference definition exactly —
+    sum of per-batch *mean* CE divided by dataset size (its :245,250) —
+    so logged curves are directly comparable; with B-sized full batches this
+    equals true-mean-CE / B."""
     total_loss, total_correct, total_n = 0.0, 0, 0
     for x, y in batches:
         loss, correct = eval_step(state.params, state.batch_stats, x, y)

@@ -185,3 +185,33 @@ def test_grouped_vs_leafwise_qsgd_equivalence(rng):
         np.testing.assert_allclose(
             np.asarray(agg_grouped[k]), np.asarray(agg[k]), rtol=1e-6
         )
+
+
+def test_grouped_vs_leafwise_hsq_equivalence(rng):
+    """The grouped HSQ unit segments the norm quantizer's min/max range per
+    original leaf (norm_segment_sizes), so grouping is exactly neutral for
+    HSQ too — codes are per-subvector and the norm ranges match the
+    reference's per-layer compressors (probabilistic_scalar_compressor.py:13-14)."""
+    kw = dict(quantizer="hsq", c_dim=16, k_bit=6, n_bit=6, random=False,
+              dataset="synthetic")
+    cfg_g = GQConfig(grouping="auto", **kw)
+    cfg_l = GQConfig(grouping="none", **kw)
+    params = {"a": jnp.zeros((64, 64)), "b": jnp.zeros((32, 48))}
+    grads = make_grads(rng, {"a": (64, 64), "b": (32, 48)})
+    agg_by_mode = {}
+    for cfg in (cfg_g, cfg_l):
+        plan = plan_units(params, cfg)
+        state = init_state(plan, U, ef=False, two_phase=False)
+        agg, _ = ps_aggregate(plan, grads, state, jnp.float32(1.0), jax.random.PRNGKey(0))
+        agg_by_mode[cfg.grouping] = agg
+    for k in grads:
+        np.testing.assert_allclose(
+            np.asarray(agg_by_mode["auto"][k]), np.asarray(agg_by_mode["none"][k]),
+            rtol=1e-6, atol=1e-7,
+        )
+    # and the grouped unit's norm quantizer really is segmented per leaf
+    plan = plan_units(params, cfg_g)
+    grouped = [u for u in plan.units if len(u.leaf_indices) == 2][0]
+    assert grouped.compressor.norm_compressor.segment_sizes == (
+        64 * 64 // 16, 32 * 48 // 16,
+    )

@@ -32,7 +32,7 @@ def run_steps(cfg, n_steps=2):
         x, y = next(it)
         state, loss = step_fn(
             state, jnp.asarray(x), jnp.asarray(y), jnp.float32(1.0),
-            jnp.float32(0.05), jax.random.PRNGKey(100 + i),
+            jnp.float32(0.05), jnp.float32(5e-4), jax.random.PRNGKey(100 + i),
         )
         losses.append(float(loss))
     return jax.device_get(state), losses

@@ -43,8 +43,15 @@ NAMES = ("sgd", "sign", "qsgd", "hsq", "pvq", "residual", "topk", "maurey")
 
 
 @pytest.mark.parametrize("name", NAMES)
-def test_signature_wire_roundtrip_bit_exact(name, rng):
-    cfg = GQConfig(quantizer=name, c_dim=16, k_bit=6, n_bit=6, cr=64, dataset="synthetic")
+@pytest.mark.parametrize("k_bit", [0, 6, 8])
+def test_signature_wire_roundtrip_bit_exact(name, k_bit, rng):
+    # k_bit=0 is the K==dim orthonormal-codebook HSQ configuration
+    # (reference nearest_neighbor_compressor.py:40-46); codes then span
+    # [0, dim) and must be packed with ceil(log2(dim)) bits, not k_bit.
+    if k_bit == 0 and name in ("pvq", "residual", "maurey"):
+        pytest.skip("k_bit=0 is an HSQ-only configuration")
+    cfg = GQConfig(quantizer=name, c_dim=16, k_bit=k_bit, n_bit=6, cr=64,
+                   dataset="synthetic")
     v = jnp.asarray(rng.standard_normal((2048,)), jnp.float32)
     comp = make_compressor(name, v.size, v.shape, cfg)
     sig = comp.compress(v, jax.random.PRNGKey(0))
@@ -92,6 +99,21 @@ def test_qsgd_wire_ratio():
     comp_det = make_compressor("qsgd", size, (size,), cfg_det)
     ratio_det = (4 * size) / wire_bytes(comp_det)
     assert 9.5 < ratio_det < 10.0, ratio_det
+
+
+def test_maurey_zero_coordinate_sign_wire_lossless(rng):
+    # A vector with exact zeros: sampled signs must stay strictly +-1 so the
+    # 1-bit packed sign roundtrips losslessly even at searchsorted clips.
+    cfg = GQConfig(quantizer="maurey", c_dim=16, k_bit=6, n_bit=6, dataset="synthetic")
+    v = jnp.asarray(rng.standard_normal((2048,)), jnp.float32)
+    v = v.at[::2].set(0.0)
+    comp = make_compressor("maurey", v.size, v.shape, cfg)
+    sig = comp.compress(v, jax.random.PRNGKey(3))
+    assert set(np.unique(np.asarray(sig["signs"]))) <= {-1.0, 1.0}
+    back = unpack_signature(comp, pack_signature(comp, sig))
+    np.testing.assert_array_equal(
+        np.asarray(comp.decompress(sig)), np.asarray(comp.decompress(back))
+    )
 
 
 def test_pack_is_jittable(rng):

@@ -76,3 +76,16 @@ def test_sign_sgd_schedule_applied():
     # reference main.py:149-157
     assert (base_lr, momentum, wd) == (1e-3, 0.0, 0.1)
     assert boundaries == (51, 71) and lrs == (0.0005, 0.0001)
+
+
+def test_wd_rehardcoded_at_boundaries():
+    """Reference quirk (main.py:160-163): every LR-boundary optimizer swap
+    sets weight_decay=5e-4, even for SignSGD whose initial wd is 0.1."""
+    from gqx.config import wd_at_epoch
+
+    assert wd_at_epoch(1, 0.1, (51, 71)) == 0.1
+    assert wd_at_epoch(50, 0.1, (51, 71)) == 0.1
+    assert wd_at_epoch(51, 0.1, (51, 71)) == 5e-4
+    assert wd_at_epoch(120, 0.1, (51, 71)) == 5e-4
+    # mnist: no boundaries -> wd never changes
+    assert wd_at_epoch(20, 5e-4, ()) == 5e-4

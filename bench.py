@@ -38,7 +38,17 @@ def log(*a):
 # child: measure one e2e config, print one JSON line
 # --------------------------------------------------------------------------
 
-def measure_e2e(network: str, use_pallas: bool) -> float:
+# the five canonical comparison configs (BASELINE.md / reference README.md:3-32)
+CANONICAL = {
+    "hsq": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6),
+    "sgd": dict(quantizer="sgd"),
+    "qsgd2bit": dict(quantizer="qsgd", c_dim=128, n_bit=2),
+    "terngrad": dict(quantizer="terngrad"),
+    "sign": dict(quantizer="sign"),
+}
+
+
+def measure_e2e(network: str, use_pallas: bool, quant: str = "hsq") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,9 +61,8 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     from gqx.train import create_train_state, make_train_step
 
     cfg = GQConfig(
-        network=network, dataset="synthetic",
-        quantizer=os.environ.get("GQX_BENCH_QUANT", "hsq"),
-        c_dim=16, k_bit=8, n_bit=6, num_users=8, batch_size=32, seed=1,
+        network=network, dataset="synthetic", num_users=8, batch_size=32, seed=1,
+        **CANONICAL[quant],
     )
     cfg.use_pallas = use_pallas
     # unscanned ResNet + pallas encode compiles in ~30s and runs ~20% faster
@@ -71,6 +80,9 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     state, plan, tx = create_train_state(cfg, model, sample, jax.random.PRNGKey(0))
     train_step = make_train_step(cfg, model, plan, tx)
 
+    total_params = sum(int(p.size) for p in jax.tree.leaves(state.params))
+    wire = plan.wire_bytes()
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((cfg.num_users, cfg.batch_size, 32, 32, 3)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 10, size=(cfg.num_users, cfg.batch_size)), jnp.int32)
@@ -81,7 +93,7 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     key, k = jax.random.split(key)
     state, loss = train_step(state, x, y, scale, lr, wd, k)
     jax.block_until_ready(loss)
-    log(f"compile+first step: {time.time()-t0:.1f}s")
+    log(f"[{quant}] compile+first step: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     for _ in range(STEPS_TIMED):
@@ -90,8 +102,14 @@ def measure_e2e(network: str, use_pallas: bool) -> float:
     jax.block_until_ready(loss)
     dt = time.time() - t0
     sps = STEPS_TIMED / dt
-    log(f"{network}: {STEPS_TIMED} steps in {dt:.2f}s -> {sps:.3f} steps/s, loss={float(loss):.4f}")
-    return sps
+    log(f"[{quant}] {network}: {STEPS_TIMED} steps in {dt:.2f}s -> {sps:.3f} steps/s, "
+        f"loss={float(loss):.4f}, wire={wire/1e6:.3f} MB/user/step "
+        f"({4.0*total_params/max(wire,1):.1f}x vs fp32)")
+    return {
+        "steps_per_sec": sps,
+        "wire_bytes_per_user_step": wire,
+        "compression_ratio_vs_fp32": 4.0 * total_params / max(wire, 1),
+    }
 
 
 def measure_kernel_throughput() -> float:
@@ -129,8 +147,11 @@ def measure_kernel_throughput() -> float:
 def child_main(kind: str, network: str):
     if kind == "e2e":
         use_pallas = os.environ.get("GQX_BENCH_PALLAS", "1") == "1"
-        sps = measure_e2e(network, use_pallas)
-        print(json.dumps({"kind": "e2e", "network": network, "steps_per_sec": sps}))
+        quants = os.environ.get("GQX_BENCH_QUANT", ",".join(CANONICAL)).split(",")
+        configs = {}
+        for q in quants:
+            configs[q] = measure_e2e(network, use_pallas, q)
+        print(json.dumps({"kind": "e2e", "network": network, "configs": configs}))
     else:
         gbps = measure_kernel_throughput()
         print(json.dumps({"kind": "kernel", "gbps": gbps}))
@@ -248,8 +269,20 @@ def main():
     ref_sps = base.get("steps_per_sec")
 
     if result is not None:
-        sps = result["steps_per_sec"]
         net = result["network"]
+        configs = result["configs"]
+        # full per-config table (BASELINE.json "configs"): steps/s + packed
+        # wire bytes + ratio; the sgd row is the fp32 (uncompressed
+        # aggregation) step-time comparison point
+        with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+            json.dump({"network": net, "hardware": "1 chip",
+                       "users": 8, "batch_per_user": 32,
+                       "configs": configs}, f, indent=1)
+        for q, r in configs.items():
+            log(f"  {q:10s} {r['steps_per_sec']:8.3f} steps/s  "
+                f"wire {r['wire_bytes_per_user_step']/1e6:8.3f} MB "
+                f"({r['compression_ratio_vs_fp32']:6.1f}x)")
+        sps = configs.get("hsq", next(iter(configs.values())))["steps_per_sec"]
         vs = (sps / ref_sps) if (ref_sps and net == "resnet50") else None
         print(json.dumps({
             "metric": f"train steps/s, {net}/cifar10-shape, hsq(d16,K256,n6), 8 users, batch 32, 1 chip",

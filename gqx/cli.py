@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", type=str, default=None,
                    help="dump an xprof trace of a few steady-state steps here")
     p.add_argument("--profile-steps", type=int, default=5)
+    # multi-host runtime (jax.distributed): auto-detected on TPU pods; on
+    # CPU/GPU pass all three explicitly on every process
+    p.add_argument("--coordinator-address", type=str, default=None,
+                   help="host:port of process 0 (enables jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -114,6 +120,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from gqx.parallel.distributed import maybe_initialize
+
+    maybe_initialize(args.coordinator_address, args.num_processes, args.process_id)
     cfg = config_from_args(args)
     from gqx.runner import run_training
 

@@ -98,8 +98,8 @@ class HSQCompressor(Compressor):
             else None
         )
 
-    # kernel tile sizes, swept on v5e (scripts/sweep_tiles.py, /tmp logs)
-    _ENC_TILE_S = 256
+    # kernel tile sizes, swept on real TPU (scripts/sweep_v2.py, sweep_v2b.py)
+    _ENC_TILE_S = 128
     _DEC_TILE_S = 512
     _DECMEAN_TILE_S = 128
 

@@ -88,6 +88,13 @@ class GQConfig:
     grouping: str = "auto"            # 'auto': pack same-config leaves into one
                                       # compression unit (fewer/larger kernels);
                                       # 'none': strict per-layer parity
+    quant_layout: str = "torch"       # 'torch': flatten each leaf in the
+                                      # reference's torch memory layout so the
+                                      # subvector/bucket partition matches
+                                      # vec.view(-1, dim) exactly (better VQ
+                                      # quality on real gradients — see
+                                      # packing.torch_axis_order); 'natural':
+                                      # flax layout
     scan_blocks: bool = False         # ResNet: trace repeated stage blocks
                                       # once via nn.scan (much faster XLA
                                       # compile for ResNet-50+; same params)

@@ -341,7 +341,7 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
     )
 
     @jax.jit
-    def train_step(state: TrainState, x, y, scale, lr, wd, key):
+    def _train_step(state: TrainState, x, y, scale, lr, wd, key):
         params, batch_stats, opt_state, agg_state, loss = body(
             state.params, state.batch_stats, state.opt_state, state.agg_state,
             x, y, scale, lr, wd, key,
@@ -350,6 +350,11 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
             TrainState(params, batch_stats, opt_state, agg_state, state.step + 1),
             loss,
         )
+
+    def train_step(state, x, y, scale, lr, wd, key):
+        return _train_step(state, x, y, scale, lr, wd, key)
+
+    train_step.mesh = mesh  # exposed for multi-host data feeding (runner)
 
     # reshard state onto the mesh
     def shard_tree(tree, spec_tree):

@@ -51,14 +51,59 @@ class Unit:
         return sum(self.sizes)
 
 
+def torch_axis_order(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Permutation mapping a flax-layout parameter to the reference's torch
+    memory layout, so the subvector/bucket partition of the flattened
+    gradient matches the reference's ``vec.view(-1, dim)`` exactly
+    (reference nearest_neighbor_compressor.py:65, qsgd_compressor.py:47):
+
+      flax Dense kernel (in, out)        -> torch Linear.weight (out, in)
+      flax Conv kernel (kh, kw, in, out) -> torch Conv2d.weight (out, in, kh, kw)
+
+    This matters for quality, not just parity: a torch-order subvector of a
+    dense/conv gradient spans consecutive *input* weights of ONE output unit
+    (g[o, i:i+d] = delta[o] * x[i:i+d] for the last layer of the chain rule),
+    which is far more correlated — hence more VQ-compressible — than a
+    flax-order subvector spanning d different output units (measured: rel.
+    reconstruction error 0.695 vs 0.729 on a real FCN layer-1 gradient).
+    Leading stacked axes (nn.scan blocks) are preserved."""
+    nd = len(shape)
+    if nd >= 4:
+        head = tuple(range(nd - 4))
+        kh, kw, cin, cout = nd - 4, nd - 3, nd - 2, nd - 1
+        return head + (cout, cin, kh, kw)
+    if nd >= 2:
+        head = tuple(range(nd - 2))
+        return head + (nd - 1, nd - 2)
+    return tuple(range(nd))
+
+
+def _invert_perm(perm: Tuple[int, ...]) -> Tuple[int, ...]:
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return tuple(inv)
+
+
 class UnitPlan:
     """Pack/unpack between a pytree (with optional leading axes) and the
-    per-unit flat vectors."""
+    per-unit flat vectors.
 
-    def __init__(self, treedef, leaf_shapes: Sequence[Tuple[int, ...]], units: List[Unit]):
+    With ``layout='torch'`` (default) every leaf is permuted to the
+    reference's torch memory layout before flattening (``torch_axis_order``)
+    so subvector/bucket partitions match the reference bit-for-bit;
+    ``layout='natural'`` flattens flax-order directly."""
+
+    def __init__(self, treedef, leaf_shapes: Sequence[Tuple[int, ...]], units: List[Unit],
+                 layout: str = "torch"):
         self.treedef = treedef
         self.leaf_shapes = list(leaf_shapes)
         self.units = units
+        self.layout = layout
+        if layout == "torch":
+            self.perms = [torch_axis_order(s) for s in self.leaf_shapes]
+        else:
+            self.perms = [tuple(range(len(s))) for s in self.leaf_shapes]
         covered = sorted(i for u in units for i in u.leaf_indices)
         assert covered == list(range(len(leaf_shapes))), "units must cover all leaves"
 
@@ -70,8 +115,15 @@ class UnitPlan:
         for u in self.units:
             flats = []
             for i, size in zip(u.leaf_indices, u.sizes):
-                lead = leaves[i].shape[: leaves[i].ndim - len(self.leaf_shapes[i])]
-                flats.append(leaves[i].reshape(lead + (size,)))
+                nlead = leaves[i].ndim - len(self.leaf_shapes[i])
+                lead = leaves[i].shape[:nlead]
+                x = leaves[i]
+                perm = self.perms[i]
+                if perm != tuple(range(len(perm))):
+                    x = jnp.transpose(
+                        x, tuple(range(nlead)) + tuple(nlead + p for p in perm)
+                    )
+                flats.append(x.reshape(lead + (size,)))
             out.append(flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=-1))
         return out
 
@@ -80,10 +132,22 @@ class UnitPlan:
         leaves: List[Any] = [None] * len(self.leaf_shapes)
         for u, arr in zip(self.units, unit_arrays):
             lead = arr.shape[:-1]
+            nlead = len(lead)
             offset = 0
             for i, size in zip(u.leaf_indices, u.sizes):
                 piece = jax.lax.slice_in_dim(arr, offset, offset + size, axis=arr.ndim - 1)
-                leaves[i] = piece.reshape(lead + self.leaf_shapes[i])
+                perm = self.perms[i]
+                shape = self.leaf_shapes[i]
+                if perm != tuple(range(len(perm))):
+                    permuted_shape = tuple(shape[p] for p in perm)
+                    piece = piece.reshape(lead + permuted_shape)
+                    inv = _invert_perm(perm)
+                    piece = jnp.transpose(
+                        piece, tuple(range(nlead)) + tuple(nlead + p for p in inv)
+                    )
+                    leaves[i] = piece
+                else:
+                    leaves[i] = piece.reshape(lead + shape)
                 offset += size
         return jax.tree.unflatten(self.treedef, leaves)
 
@@ -179,10 +243,12 @@ def plan_units(params: PyTree, config) -> UnitPlan:
                  IdenticalCompressor(total, (total,)))
         )
 
-    return UnitPlan(treedef, shapes, units)
+    return UnitPlan(treedef, shapes, units,
+                    layout=getattr(config, "quant_layout", "torch"))
 
 
-def plan_from_leaf_compressors(params: PyTree, compressors: PyTree) -> UnitPlan:
+def plan_from_leaf_compressors(params: PyTree, compressors: PyTree,
+                               layout: str = "torch") -> UnitPlan:
     """One unit per leaf with the given compressors (strict per-layer mode;
     also used by parity tests)."""
     leaves, treedef = jax.tree.flatten(params)
@@ -191,4 +257,4 @@ def plan_from_leaf_compressors(params: PyTree, compressors: PyTree) -> UnitPlan:
     units = [
         Unit((i,), (int(p.size),), c) for i, (p, c) in enumerate(zip(leaves, comp_leaves))
     ]
-    return UnitPlan(treedef, shapes, units)
+    return UnitPlan(treedef, shapes, units, layout=layout)

@@ -69,15 +69,26 @@ def run_training(
             if progress:
                 print(f"resumed from {ckpt} at epoch {start_epoch}")
 
+    to_global = jnp.asarray
     if config.backend == "mesh":
         from gqx.parallel.collectives import make_mesh_train_step
 
         train_step, state = make_mesh_train_step(config, model, plan, tx, state)
+        if jax.process_count() > 1:
+            # multi-host: every process computes the same global batch order
+            # and contributes its local users' rows (SURVEY.md §2.10)
+            import functools
+
+            from gqx.parallel.distributed import global_user_batch
+
+            to_global = functools.partial(global_user_batch, train_step.mesh)
     else:
         train_step = make_train_step(config, model, plan, tx)
     eval_step = make_eval_step(model)
 
-    logger = MetricLogger(config.logdir)
+    is_main = jax.process_index() == 0
+    progress = progress and is_main
+    logger = MetricLogger(config.logdir if is_main else None)
 
     # bytes-on-wire accounting (packed payload sizes, gqx.ops.wire) — the
     # reference only ever reports logical ratios (SURVEY.md §2.5)
@@ -116,7 +127,7 @@ def run_training(
                 jax.block_until_ready(state.params)
                 jax.profiler.start_trace(config.profile_dir)
                 profiling = True
-            state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), scale, lr, wd, k)
+            state, loss = train_step(state, to_global(x), to_global(y), scale, lr, wd, k)
             total_steps += 1
             if profiling and total_steps >= profile_at + config.profile_steps - 1:
                 jax.block_until_ready(loss)
@@ -141,7 +152,7 @@ def run_training(
                     )
             if max_steps is not None and total_steps >= max_steps:
                 break
-        if config.save_model and config.logdir:
+        if config.save_model and config.logdir and is_main:
             from gqx.checkpoint import save_checkpoint
 
             save_checkpoint(config.logdir, state, step=int(state.step))
@@ -153,7 +164,7 @@ def run_training(
     if progress:
         dt = time.time() - t_start
         print(f"done: {total_steps} steps in {dt:.1f}s ({total_steps/max(dt,1e-9):.2f} steps/s)")
-    if config.save_model and config.logdir:
+    if config.save_model and config.logdir and is_main:
         from gqx.checkpoint import save_checkpoint
 
         save_checkpoint(config.logdir, state, step=int(state.step))

@@ -80,8 +80,14 @@ def main():
     cb = comp.codewords
     print(f"big unit: M={M} dim={dim} K={K} ({M*dim*4/1e6:.0f} MB/user)")
 
-    # --- encode ---
-    if on_tpu:
+    # --- encode (the path the compressor actually uses: v2 flat on TPU) ---
+    if comp.flat_ok:
+        from gqx.ops.pallas_hsq2 import hsq_encode_flat
+
+        encf = jax.jit(jax.vmap(lambda r: hsq_encode_flat(
+            r.reshape(-1), comp._eh, comp._el, comp.dim,
+            tile_s=comp._ENC_TILE_S, passes=2)))
+    elif on_tpu:
         encf = jax.jit(jax.vmap(lambda r: hsq_encode(r, cb)))
     else:
         encf = jax.jit(jax.vmap(comp._encode_xla))
@@ -95,7 +101,15 @@ def main():
     dt, uq = timeit(nrmf, uu, keys)
     print(f"norms:     {dt*1e3:8.2f} ms  ({U*M*4/dt/1e9:6.1f} GB/s)")
 
-    # --- decode ---
+    # --- decode (v2 fused decode-mean is what PS aggregation uses) ---
+    if comp.flat_ok:
+        from gqx.ops.pallas_hsq2 import hsq_decode_mean
+
+        dmf = jax.jit(lambda c, u_: hsq_decode_mean(
+            c, u_, comp._e2h, comp._e2l, comp.dim,
+            tile_s=comp._DECMEAN_TILE_S, passes=2))
+        dt, _ = timeit(dmf, codes.astype(jnp.int32), uq)
+        print(f"decmean:   {dt*1e3:8.2f} ms  ({M*dim*4/dt/1e9:6.1f} GB/s out)")
     if on_tpu:
         decf = jax.jit(jax.vmap(lambda c, u_: hsq_decode(c, u_, cb)))
     else:

@@ -92,14 +92,17 @@ def measure_e2e(network: str, use_pallas: bool, quant: str = "hsq") -> float:
     t0 = time.time()
     key, k = jax.random.split(key)
     state, loss = train_step(state, x, y, scale, lr, wd, k)
-    jax.block_until_ready(loss)
+    # NB: on the tunneled platform jax.block_until_ready can return before
+    # the device has executed; fetching the (state-chained) loss to host is
+    # the only reliable execution barrier.
+    float(loss)
     log(f"[{quant}] compile+first step: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     for _ in range(STEPS_TIMED):
         key, k = jax.random.split(key)
         state, loss = train_step(state, x, y, scale, lr, wd, k)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.time() - t0
     sps = STEPS_TIMED / dt
     log(f"[{quant}] {network}: {STEPS_TIMED} steps in {dt:.2f}s -> {sps:.3f} steps/s, "
@@ -132,13 +135,9 @@ def measure_kernel_throughput() -> float:
         u, codes = hsq_encode(r, cb)
         return hsq_decode(codes, u, cb)
 
-    out = rt(rows)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(10):
-        out = rt(rows)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / 10
+    from gqx.utils.timing import timeit as _timeit
+
+    dt, out = _timeit(rt, rows, n=10)
     gbps = m * dim * 4 / dt / 1e9
     log(f"kernel roundtrip: {dt*1e3:.2f} ms -> {gbps:.1f} GB/s")
     return gbps

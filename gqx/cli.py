@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--network", type=str, default="resnet18", choices=NETWORK_CHOICES)
     p.add_argument("--dataset", type=str, default="cifar10", choices=list(DATASET_CLASSES))
     p.add_argument("--quantizer", type=str, default="hsq", choices=QUANTIZER_CHOICES)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="override the dataset's class count "
+                        "(reference main.py:85)")
     p.add_argument("--mode", type=str, default="ps", choices=["ps", "ring"])
     p.add_argument("--scale", type=str, default="exp")
     p.add_argument("--c-dim", type=int, default=32)
@@ -72,6 +75,7 @@ def config_from_args(args) -> GQConfig:
     cfg = GQConfig(
         network=args.network,
         dataset=args.dataset,
+        num_classes=args.num_classes,
         quantizer=args.quantizer,
         mode=args.mode,
         scale=args.scale,

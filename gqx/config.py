@@ -54,7 +54,9 @@ class GQConfig:
 
     network: str = "resnet18"
     dataset: str = "cifar10"
-    num_classes: int = 10
+    num_classes: Optional[int] = None  # None -> resolved from dataset; a user
+                                       # value wins (reference main.py:85 lets
+                                       # --num-classes override the registry)
     quantizer: str = "hsq"
     mode: str = "ps"                  # 'ps' | 'ring'
     scale: str = "exp"                # EF warmup scale: 'exp' or a float string
@@ -113,8 +115,8 @@ class GQConfig:
     profile_steps: int = 5            # how many steps the trace covers
 
     def __post_init__(self):
-        if self.dataset in DATASET_CLASSES:
-            self.num_classes = DATASET_CLASSES[self.dataset]
+        if self.num_classes is None:
+            self.num_classes = DATASET_CLASSES.get(self.dataset, 10)
         if self.quantizer not in QUANTIZER_CHOICES:
             raise ValueError(f"unknown quantizer {self.quantizer!r}")
         if self.mode not in ("ps", "ring"):

@@ -14,15 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n, out
+from gqx.utils.timing import timeit  # noqa: E402  (true device barrier)
 
 
 def main():

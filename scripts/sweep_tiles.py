@@ -13,15 +13,7 @@ from gqx.codebooks import get_codebook
 from gqx.ops.pallas_hsq import hsq_encode, hsq_decode
 
 
-def timeit(fn, *args, n=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n, out
+from gqx.utils.timing import timeit  # noqa: E402  (true device barrier)
 
 
 def main():

@@ -89,3 +89,18 @@ def test_wd_rehardcoded_at_boundaries():
     assert wd_at_epoch(120, 0.1, (51, 71)) == 5e-4
     # mnist: no boundaries -> wd never changes
     assert wd_at_epoch(20, 5e-4, ()) == 5e-4
+
+
+def test_num_classes_user_override():
+    """--num-classes beats the dataset registry (reference main.py:85),
+    while the default resolves from the dataset (main.py:61-76)."""
+    from gqx.config import GQConfig
+
+    assert GQConfig(dataset="cifar100").num_classes == 100
+    assert GQConfig(dataset="cifar100", num_classes=7).num_classes == 7
+    from gqx.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(["--dataset", "cifar100"])
+    assert config_from_args(args).num_classes == 100
+    args = build_parser().parse_args(["--dataset", "cifar100", "--num-classes", "7"])
+    assert config_from_args(args).num_classes == 7

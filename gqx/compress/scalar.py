@@ -98,25 +98,32 @@ class ProbabilisticScalarCompressor(Compressor):
         if self.segment_sizes:
             assert sum(self.segment_sizes) == size, (self.segment_sizes, size)
             self.n_segments = len(self.segment_sizes)
-            self.segment_ids = jnp.asarray(
-                np.repeat(np.arange(self.n_segments), self.segment_sizes), jnp.int32
-            )
         else:
             self.n_segments = 1
-            self.segment_ids = None
 
     def _bounds(self, vec):
-        """(lower, upper) per segment, plus the per-element broadcasts."""
-        if self.segment_ids is None:
+        """(lower, upper) per segment, plus the per-element broadcasts.
+
+        Segment boundaries are static (per-leaf sizes fixed at plan time), so
+        the reduction is a static slice + min/max per segment — no
+        scatter-based segment ops (slow on TPU) and the broadcast-back is a
+        static repeat, all fusable by XLA."""
+        if self.segment_sizes is None:
             lower, upper = jnp.min(vec), jnp.max(vec)
             return lower, upper, lower, upper
-        lower = jax.ops.segment_min(
-            vec, self.segment_ids, num_segments=self.n_segments, indices_are_sorted=True
-        )
-        upper = jax.ops.segment_max(
-            vec, self.segment_ids, num_segments=self.n_segments, indices_are_sorted=True
-        )
-        return lower, upper, lower[self.segment_ids], upper[self.segment_ids]
+        los, ups, lo_parts, up_parts = [], [], [], []
+        off = 0
+        for n in self.segment_sizes:
+            seg = jax.lax.slice_in_dim(vec, off, off + n, axis=0)
+            lo, up = jnp.min(seg), jnp.max(seg)
+            los.append(lo)
+            ups.append(up)
+            lo_parts.append(jnp.broadcast_to(lo, (n,)))
+            up_parts.append(jnp.broadcast_to(up, (n,)))
+            off += n
+        lower = jnp.stack(los)
+        upper = jnp.stack(ups)
+        return lower, upper, jnp.concatenate(lo_parts), jnp.concatenate(up_parts)
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
         lower, upper, lo_e, up_e = self._bounds(vec)
@@ -130,10 +137,17 @@ class ProbabilisticScalarCompressor(Compressor):
             l = l + stochastic_increment(scaled, l, key)
         return {"lower": lower, "upper": upper, "l": l}
 
+    def _broadcast_segments(self, per_seg):
+        return jnp.concatenate([
+            jnp.broadcast_to(per_seg[i], (n,))
+            for i, n in enumerate(self.segment_sizes)
+        ])
+
     def decompress(self, sig) -> jax.Array:
         lower, upper = sig["lower"], sig["upper"]
-        if self.segment_ids is not None:
-            lower, upper = lower[self.segment_ids], upper[self.segment_ids]
+        if self.segment_sizes is not None:
+            lower = self._broadcast_segments(lower)
+            upper = self._broadcast_segments(upper)
         span = upper - lower
         return sig["l"].astype(jnp.float32) * span / self.s + lower
 

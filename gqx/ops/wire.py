@@ -60,7 +60,7 @@ def _pack_prob_scalar(comp: ProbabilisticScalarCompressor, sig) -> Wire:
 
 
 def _unpack_prob_scalar(comp: ProbabilisticScalarCompressor, wire: Wire):
-    if comp.segment_ids is not None:
+    if comp.segment_sizes is not None:
         bounds = words_to_f32(wire["bounds"], (2, comp.n_segments))
     else:
         bounds = words_to_f32(wire["bounds"], (2,))

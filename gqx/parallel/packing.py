@@ -78,6 +78,29 @@ def torch_axis_order(shape: Tuple[int, ...]) -> Tuple[int, ...]:
     return tuple(range(nd))
 
 
+def outfirst_axis_order(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Like :func:`torch_axis_order` but keeps the non-output axes in flax
+    order: conv (kh, kw, cin, cout) -> (cout, kh, kw, cin).
+
+    Identical to the torch layout for dense kernels and 1x1 convs (the bulk
+    of a bottleneck ResNet); for KxK convs the subvector still spans
+    consecutive weights of ONE output unit — the property the parity study
+    showed matters for VQ quality — just ordered (kh, kw, cin) instead of
+    (cin, kh, kw).  The payoff: the permutation is 2D-collapsible
+    ({cout} | {rest} stays contiguous), which XLA lowers as a plain 2D
+    transpose — measured 4.8 ms vs 44 ms for the full torch permutation on a
+    ResNet-50 gradient x8 users (scripts/perf_probe.py)."""
+    nd = len(shape)
+    if nd >= 4:  # conv kernel (+ optional stacked lead axes)
+        head = tuple(range(nd - 4))
+        kh, kw, cin, cout = nd - 4, nd - 3, nd - 2, nd - 1
+        return head + (cout, kh, kw, cin)
+    if nd >= 2:  # dense kernel: same as the torch layout
+        head = tuple(range(nd - 2))
+        return head + (nd - 1, nd - 2)
+    return tuple(range(nd))
+
+
 def _invert_perm(perm: Tuple[int, ...]) -> Tuple[int, ...]:
     inv = [0] * len(perm)
     for i, p in enumerate(perm):
@@ -102,8 +125,12 @@ class UnitPlan:
         self.layout = layout
         if layout == "torch":
             self.perms = [torch_axis_order(s) for s in self.leaf_shapes]
-        else:
+        elif layout == "outfirst":
+            self.perms = [outfirst_axis_order(s) for s in self.leaf_shapes]
+        elif layout == "natural":
             self.perms = [tuple(range(len(s))) for s in self.leaf_shapes]
+        else:
+            raise ValueError(f"unknown quant_layout {layout!r}")
         covered = sorted(i for u in units for i in u.leaf_indices)
         assert covered == list(range(len(leaf_shapes))), "units must cover all leaves"
 

@@ -163,6 +163,9 @@ def run_gqx(name: str, cfg: dict) -> list:
         batch_size=BATCH, seed=1, log_epoch=1, logdir=logdir,
         **cfg,
     )
+    # strict reference-partition parity (== the default 'outfirst' for FCN's
+    # dense leaves, pinned for documentation)
+    gq.quant_layout = "torch"
     state, acc = run_training(gq, progress=False)
     rows = []
     with open(os.path.join(logdir, "scalars.csv")) as f:

@@ -215,3 +215,44 @@ def test_grouped_vs_leafwise_hsq_equivalence(rng):
     assert grouped.compressor.norm_compressor.segment_sizes == (
         64 * 64 // 16, 32 * 48 // 16,
     )
+
+def test_plan_pack_unpack_roundtrip_all_layouts(rng):
+    """pack/unpack inverse for torch / outfirst / natural layouts, including
+    conv-shaped and scan-stacked leaves."""
+    params = {
+        "conv": jnp.zeros((3, 3, 8, 16)),
+        "conv1x1": jnp.zeros((1, 1, 16, 32)),
+        "dense": jnp.zeros((48, 32)),
+        "stacked": jnp.zeros((4, 3, 3, 8, 8)),  # nn.scan lead axis
+        "bias": jnp.zeros((16,)),
+    }
+    tree = {k: jnp.asarray(rng.standard_normal((U,) + tuple(v.shape)), jnp.float32)
+            for k, v in params.items()}
+    for layout in ("torch", "outfirst", "natural"):
+        cfg = GQConfig(quantizer="qsgd", c_dim=16, n_bit=4, dataset="synthetic")
+        cfg.quant_layout = layout
+        plan = plan_units(params, cfg)
+        back = plan.unpack(plan.pack(tree))
+        for k in tree:
+            np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(tree[k]))
+
+
+def test_outfirst_matches_torch_for_dense_and_1x1():
+    """outfirst == torch flattening for dense kernels and 1x1 convs (the
+    permutations coincide), so the reference-partition parity is exact there."""
+    from gqx.parallel.packing import outfirst_axis_order, torch_axis_order
+
+    for shape in ((48, 32), (1, 1, 16, 32), (5, 48, 32)):
+        a = np.arange(np.prod(shape), dtype=np.float32).reshape(shape)
+        pt = torch_axis_order(shape)
+        po = outfirst_axis_order(shape)
+        np.testing.assert_array_equal(
+            np.transpose(a, pt).reshape(-1), np.transpose(a, po).reshape(-1)
+        )
+    # 3x3 conv: different intra-subvector order, same output-unit-major rows
+    shape = (3, 3, 8, 16)
+    a = np.arange(np.prod(shape), dtype=np.float32).reshape(shape)
+    t = np.transpose(a, torch_axis_order(shape)).reshape(16, -1)
+    o = np.transpose(a, outfirst_axis_order(shape)).reshape(16, -1)
+    # each row (one output unit) holds the same SET of weights
+    np.testing.assert_array_equal(np.sort(t, axis=1), np.sort(o, axis=1))

@@ -54,7 +54,25 @@ class Compressor:
         every leaf) and return the mean decompressed tensor — the PS server
         reduce (reference ps_quantizer.py:48).  Subclasses may fuse this
         (HSQ decodes ONCE via an accumulated one-hot instead of per-user)."""
-        return jnp.mean(jax.vmap(self.decompress)(sig), axis=0)
+        return jnp.mean(self.decompress_batch(sig), axis=0)
+
+    # -- batched (stacked-users) API -----------------------------------------
+    # Subclasses with Pallas kernels override these to fold the users axis
+    # into the kernel grid: jax.vmap of a pallas_call lowers to an XLA
+    # while-loop with per-user dynamic-update-slices (measured ~8.5 ms pure
+    # overhead per ResNet-50-unit encode x8 users).
+    def compress_batch(self, vecs: jax.Array, keys) -> Sig:
+        """vecs (U, *shape) -> signature with a leading U axis per leaf."""
+        if self.stochastic:
+            return jax.vmap(self.compress)(vecs, keys)
+        return jax.vmap(lambda v: self.compress(v))(vecs)
+
+    def decompress_batch(self, sig: Sig) -> jax.Array:
+        """Signature with a leading U axis -> (U, *shape)."""
+        return jax.vmap(self.decompress)(sig)
+
+    def roundtrip_batch(self, vecs: jax.Array, keys) -> jax.Array:
+        return self.decompress_batch(self.compress_batch(vecs, keys))
 
     # -- wire accounting ----------------------------------------------------
     @property

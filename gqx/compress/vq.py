@@ -134,7 +134,7 @@ class HSQCompressor(Compressor):
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
         if self.flat_ok:
-            from gqx.ops.pallas_hsq2 import hsq_encode_flat
+            from gqx.ops.pallas_hsq3 import hsq_encode_flat
 
             u, codes = hsq_encode_flat(
                 vec.reshape(-1).astype(jnp.float32), self._eh, self._el,
@@ -165,10 +165,10 @@ class HSQCompressor(Compressor):
         else:
             u = sig["u"]
         if self.flat_ok:
-            from gqx.ops.pallas_hsq2 import hsq_decode_flat
+            from gqx.ops.pallas_hsq3 import hsq_decode_flat
 
             return hsq_decode_flat(
-                codes, u, self._e2h, self._e2l, self.dim,
+                codes, u, self._eh, self._el, self.dim,
                 tile_s=self._DEC_TILE_S, passes=2,
             ).reshape(self.shape)
         if self.use_pallas:
@@ -181,13 +181,47 @@ class HSQCompressor(Compressor):
             rows = hsq_decode_xla(codes, u, self.codewords)
         return rows.reshape(self.shape)
 
+    # -- batched (stacked-users) API: users axis folded into the kernel grid
+    def compress_batch(self, vecs, keys) -> Sig:
+        if not self.flat_ok:
+            return super().compress_batch(vecs, keys)
+        from gqx.ops.pallas_hsq3 import hsq_encode_flat
+
+        users = vecs.shape[0]
+        u, codes = hsq_encode_flat(
+            vecs.reshape(users, -1).astype(jnp.float32), self._eh, self._el,
+            self.dim, tile_s=self._ENC_TILE_S, passes=2,
+        )
+        sig: Sig = {"codes": codes.astype(code_dtype(self.code_bits))}
+        if self.compressed_norm:
+            sig["u"] = jax.vmap(self.norm_compressor.compress)(u, keys)
+        else:
+            sig["u"] = u
+        return sig
+
+    def decompress_batch(self, sig: Sig) -> jax.Array:
+        if not self.flat_ok:
+            return super().decompress_batch(sig)
+        from gqx.ops.pallas_hsq3 import hsq_decode_flat
+
+        codes = sig["codes"].astype(jnp.int32)
+        if self.compressed_norm:
+            u = jax.vmap(self.norm_compressor.decompress)(sig["u"])
+        else:
+            u = sig["u"]
+        users = codes.shape[0]
+        return hsq_decode_flat(
+            codes, u, self._eh, self._el, self.dim,
+            tile_s=self._DEC_TILE_S, passes=2,
+        ).reshape((users,) + self.shape)
+
     def decode_mean(self, sig: Sig) -> jax.Array:
         """Fused PS server reduce: decode the U users' signatures ONCE via an
         accumulated scaled one-hot (reference ps_quantizer.py:48 decodes U
         times then means)."""
         if not self.flat_ok:
             return super().decode_mean(sig)
-        from gqx.ops.pallas_hsq2 import hsq_decode_mean
+        from gqx.ops.pallas_hsq3 import hsq_decode_mean
 
         codes = sig["codes"].astype(jnp.int32)
         if self.compressed_norm:
@@ -195,7 +229,7 @@ class HSQCompressor(Compressor):
         else:
             u = sig["u"]
         return hsq_decode_mean(
-            codes, u, self._e2h, self._e2l, self.dim,
+            codes, u, self._eh, self._el, self.dim,
             tile_s=self._DECMEAN_TILE_S, passes=2,
         ).reshape(self.shape)
 

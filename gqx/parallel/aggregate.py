@@ -103,19 +103,17 @@ def ps_aggregate(
 
         if ef_on:
             with jax.named_scope(f"unit{ui}_encode_decode"):
-                dec, e_new = jax.vmap(
-                    lambda g_u, k_u, e_u, comp=comp: _user_roundtrip(comp, g_u, e_u, scale, k_u)
-                )(g, user_keys, e)
+                g_adj = (g + scale * e)  # EF injection (ps_quantizer.py:34-35)
+                dec = comp.roundtrip_batch(g_adj, user_keys)
+                e_new = g_adj - dec      # new error (ps_quantizer.py:39)
             with jax.named_scope(f"unit{ui}_server_reduce"):
                 mean = jnp.mean(dec, axis=0)  # server reduce (ps_quantizer.py:48)
         else:
-            # no per-user decompressed values needed -> encode per user, then
-            # the compressor's (possibly fused) decode_mean does the server
-            # reduce in one pass
+            # no per-user decompressed values needed -> encode per user (the
+            # users axis folded into the kernel grid), then the compressor's
+            # (possibly fused) decode_mean does the server reduce in one pass
             with jax.named_scope(f"unit{ui}_encode"):
-                sig = jax.vmap(
-                    lambda g_u, k_u, comp=comp: comp.compress(g_u, k_u)
-                )(g, user_keys)
+                sig = comp.compress_batch(g, user_keys)
             with jax.named_scope(f"unit{ui}_decode_mean"):
                 mean = comp.decode_mean(sig)
             e_new = None

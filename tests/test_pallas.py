@@ -115,3 +115,72 @@ def test_hsq2_zero_rows_decode_to_zero(rng):
     assert np.all(np.asarray(u)[:5] == 0.0)
     dec = hsq_decode_flat(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
     assert np.all(np.asarray(dec)[: 16 * 5] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# v3 users-in-block transposed-signature kernels (gqx.ops.pallas_hsq3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dim,k,size", [(16, 256, 16 * 403), (32, 64, 32 * 77), (8, 32, 8 * 513)])
+def test_hsq3_encode_decode_match_reference_math(rng, dim, k, size):
+    from gqx.ops.pallas_hsq3 import hsq_decode_flat, hsq_encode_flat
+
+    cb, eh, el, _, _, flat = _flat_refs(rng, dim, k, size)
+    u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
+
+    rows = np.asarray(flat).reshape(-1, dim)
+    p = rows @ cb.T
+    want_codes = np.argmax(np.abs(p), axis=1)
+    np.testing.assert_array_equal(np.asarray(codes), want_codes)
+    want_u = np.take_along_axis(p, want_codes[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(u), want_u, rtol=3e-5, atol=3e-5)
+
+    dec = hsq_decode_flat(codes, u, eh, el, dim, tile_s=8, passes=2, interpret=True)
+    manual = cb[want_codes] * np.asarray(u)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(dec).reshape(-1, dim), manual, rtol=3e-5, atol=3e-5
+    )
+
+
+def test_hsq3_batched_matches_per_user(rng):
+    """Batched (users-in-block) encode/decode/decode_mean == per-user runs."""
+    from gqx.ops.pallas_hsq3 import (
+        hsq_decode_flat, hsq_decode_mean, hsq_encode_flat,
+    )
+
+    dim, k, size, users = 16, 64, 16 * 200, 4
+    cb, eh, el, _, _, _ = _flat_refs(rng, dim, k, size)
+    flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
+    u_b, codes_b = hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
+                                   interpret=True)
+    for uu in range(users):
+        u1, c1 = hsq_encode_flat(flats[uu], eh, el, dim, tile_s=8, passes=2,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(codes_b[uu]), np.asarray(c1))
+        np.testing.assert_allclose(np.asarray(u_b[uu]), np.asarray(u1),
+                                   rtol=1e-6)
+
+    dec_b = hsq_decode_flat(codes_b, u_b, eh, el, dim, tile_s=8, passes=2,
+                            interpret=True)
+    want = np.stack([
+        (cb[np.asarray(codes_b[uu])] * np.asarray(u_b[uu])[:, None]).reshape(-1)
+        for uu in range(users)
+    ])
+    np.testing.assert_allclose(np.asarray(dec_b), want, rtol=1e-4, atol=1e-5)
+
+    got = hsq_decode_mean(codes_b, u_b, eh, el, dim, tile_s=8, passes=2,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want.mean(axis=0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hsq3_zero_rows_decode_to_zero(rng):
+    from gqx.ops.pallas_hsq3 import hsq_decode_flat, hsq_encode_flat
+
+    dim, k = 16, 64
+    cb, eh, el, _, _, flat = _flat_refs(rng, dim, k, 16 * 32)
+    flat = flat.at[: 16 * 5].set(0.0)
+    u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
+    assert np.all(np.asarray(u)[:5] == 0.0)
+    dec = hsq_decode_flat(codes, u, eh, el, dim, tile_s=8, passes=2, interpret=True)
+    assert np.all(np.asarray(dec)[: 16 * 5] == 0.0)

@@ -187,9 +187,11 @@ class QSGDCompressor(Compressor):
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
         rows = vec.reshape(-1, self.dim)
-        norm = jnp.max(jnp.abs(rows), axis=1, keepdims=True)
+        # norm is a flat (M,) vector — a (M, 1) leaf would be lane-padded
+        # 128x by the TPU tiled layout wherever XLA materializes it
+        norm = jnp.max(jnp.abs(rows), axis=1)
         safe_norm = jnp.where(norm == 0.0, 1.0, norm)
-        scaled = jnp.abs(rows / safe_norm) * self.s
+        scaled = jnp.abs(rows / safe_norm[:, None]) * self.s
         l = jnp.clip(scaled, 0, self.s - 1).astype(jnp.int32)
         if self.random:
             assert key is not None
@@ -204,7 +206,8 @@ class QSGDCompressor(Compressor):
     def decompress(self, sig) -> jax.Array:
         signs = sig["signs"].astype(jnp.float32)
         scaled = sig["l"].astype(jnp.float32) * (2.0 * signs - 1.0)
-        out = scaled.reshape(-1, self.dim) * sig["norm"] / self.s
+        norm = sig["norm"].reshape(-1)  # accept legacy (M, 1) too
+        out = scaled.reshape(-1, self.dim) * norm[:, None] / self.s
         return out.reshape(self.shape)
 
     @property

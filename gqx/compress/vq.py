@@ -242,7 +242,12 @@ class HSQCompressor(Compressor):
 
     @property
     def wire_bits(self) -> int:
-        norm_bits = (2 * 32 + self.n_bit * self.M) if self.compressed_norm else 32 * self.M
+        # 2 range scalars PER SEGMENT (= per original leaf in grouped units,
+        # matching the reference's per-layer compressors)
+        norm_bits = (
+            (2 * 32 * self.norm_compressor.n_segments + self.n_bit * self.M)
+            if self.compressed_norm else 32 * self.M
+        )
         return self.code_bits * self.M + norm_bits
 
 
@@ -347,7 +352,12 @@ class ProbabilisticVectorCompressor(Compressor):
 
     @property
     def wire_bits(self) -> int:
-        norm_bits = (2 * 32 + self.n_bit * self.M) if self.compressed_norm else 32 * self.M
+        # 2 range scalars PER SEGMENT (= per original leaf in grouped units,
+        # matching the reference's per-layer compressors)
+        norm_bits = (
+            (2 * 32 * self.norm_compressor.n_segments + self.n_bit * self.M)
+            if self.compressed_norm else 32 * self.M
+        )
         return self.code_bits * self.M + norm_bits
 
 

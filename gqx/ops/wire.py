@@ -131,7 +131,7 @@ def unpack_signature(comp, wire: Wire):
         return {"signs": trits.reshape(comp.shape)}
     if isinstance(comp, QSGDCompressor):
         return {
-            "norm": words_to_f32(wire["norm"], (comp.M, 1)),
+            "norm": words_to_f32(wire["norm"], (comp.M,)),
             "signs": unpack_uint(wire["signs"], 1, comp.size).astype(jnp.bool_).reshape(comp.shape),
             "l": unpack_uint(wire["l"], _level_bits(comp), comp.size)
             .astype(jnp.int32)

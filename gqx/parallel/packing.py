@@ -45,10 +45,16 @@ class Unit:
     leaf_indices: Tuple[int, ...]   # indices into the flattened leaf list
     sizes: Tuple[int, ...]          # element count per member leaf
     compressor: Compressor          # over the concatenated flat vector
+    pad: int = 0                    # zero tail appended by pack() so the
+                                    # Pallas kernels' lane/tile alignment
+                                    # needs no separate XLA pad copy (a
+                                    # ResNet-50 unit's pad was a 752 MB
+                                    # copy per encode, ~2.3 ms/step);
+                                    # unpack() never reads the tail
 
     @property
     def size(self) -> int:
-        return sum(self.sizes)
+        return sum(self.sizes) + self.pad
 
 
 def torch_axis_order(shape: Tuple[int, ...]) -> Tuple[int, ...]:
@@ -151,6 +157,8 @@ class UnitPlan:
                         x, tuple(range(nlead)) + tuple(nlead + p for p in perm)
                     )
                 flats.append(x.reshape(lead + (size,)))
+            if u.pad:
+                flats.append(jnp.zeros(lead + (u.pad,), flats[0].dtype))
             out.append(flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=-1))
         return out
 
@@ -242,6 +250,7 @@ def plan_units(params: PyTree, config) -> UnitPlan:
         if aligned:
             total = sum(sizes[i] for i in aligned)
             norm_segments = None
+            pad = 0
             if name in ("hsq", "pvq", "residual"):
                 # Per-leaf norm-range segments: the grouped unit's subvector
                 # grid aligns with leaf boundaries (every member size is
@@ -253,10 +262,21 @@ def plan_units(params: PyTree, config) -> UnitPlan:
 
                 dim = subvector_dim(total, config.c_dim)
                 assert all(sizes[i] % dim == 0 for i in aligned), dim
+                # zero-pad the unit to the Pallas kernels' tile alignment at
+                # pack time (rides the existing concat; a separate XLA pad
+                # copies the whole 94 MB unit).  The pad is its OWN norm
+                # segment so it never pollutes a real leaf's min/max range.
+                if name == "hsq" and getattr(config, "use_pallas", False):
+                    align = 65536  # 512 sublane rows x 128 lanes
+                    if align % dim == 0:
+                        pad = (-total) % align
                 norm_segments = tuple(sizes[i] // dim for i in aligned)
-            comp = make_compressor(name, total, (total,), config,
+                if pad:
+                    norm_segments = norm_segments + (pad // dim,)
+            comp = make_compressor(name, total + pad, (total + pad,), config,
                                    norm_segment_sizes=norm_segments)
-            units.append(Unit(tuple(aligned), tuple(sizes[i] for i in aligned), comp))
+            units.append(Unit(tuple(aligned), tuple(sizes[i] for i in aligned),
+                              comp, pad=pad))
         for i in ragged:
             leaf_unit(i, name)
     else:

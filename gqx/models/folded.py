@@ -1,0 +1,131 @@
+"""Folded-users fast path: shared-weight layers with per-user kernel grads.
+
+Motivation (PERF.md): the reference semantics need ONE gradient per user
+(each user compresses its own micro-batch gradient, reference
+main.py:221-230), which gqx computes with ``jax.vmap`` over a users axis.
+XLA runs the vmapped backward ~2x slower than the same math on the folded
+(U*B) batch: the per-user weight-grad convolutions lower to
+batch_group_count convs whose layouts break fusion of the surrounding
+elementwise backward (measured 15.3 ms vs 2.9 ms of loop fusions,
+29.6 ms vs 21.6 ms of conv fusions; resnet50, 8x32).
+
+The fix: run forward and the data-gradient backward on the FOLDED batch —
+identical math, since all users share the parameters — and compute ONLY the
+per-user weight gradients user-separated.  ``shared_conv`` / ``shared_dense``
+take the normal shared kernel plus a zeros "ghost" operand with a leading
+users axis; their custom VJP returns the per-user weight gradient as the
+ghost's cotangent (the shared kernel's cotangent is the usual folded total).
+``jax.grad`` w.r.t. the ghost pytree therefore yields exactly the gradients
+the vmapped path produces, while everything else in the backward stays
+folded.  Per-user BatchNorm statistics (reference parity: each user
+normalizes with its own micro-batch stats) are preserved by
+``GroupedBatchNorm``: stats are computed per user-group with folded
+elementwise normalization.
+
+Leaves that never reach a shared_* layer (BN scales/biases, small biases)
+are below the <=1000-element passthrough threshold; their per-user
+gradients are only ever summed/averaged by the aggregators, so the folded
+total divided/broadcast appropriately is mathematically identical (the
+identity compressor is linear and its EF error is exactly zero).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv(x, kernel, strides, padding):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def shared_conv(x, kernel, ghost, users: int, strides, padding):
+    """Folded conv with per-user weight grads.
+
+    x (U*B, H, W, Cin); kernel (kh, kw, Cin, Cout) shared; ghost
+    (U, kh, kw, Cin, Cout) zeros.  Output = conv(x, kernel + mean_u ghost_u)
+    — equal to conv(x, kernel) for zero ghosts, and the ghost cotangent is
+    the PER-USER weight gradient."""
+    return _conv(x, kernel + jnp.mean(ghost, axis=0), strides, padding)
+
+
+def _shared_conv_fwd(x, kernel, ghost, users, strides, padding):
+    k = kernel + jnp.mean(ghost, axis=0)
+    return _conv(x, k, strides, padding), (x, k)
+
+
+def _shared_conv_bwd(users, strides, padding, res, dy):
+    x, k = res
+    # data gradient on the folded batch (fast path: no batch groups)
+    dx = jax.vjp(lambda xx: _conv(xx, k, strides, padding), x)[1](dy)[0]
+    # per-user weight gradient: one vjp per user slice (batch_group conv)
+    xu = x.reshape((users, -1) + x.shape[1:])
+    dyu = dy.reshape((users, -1) + dy.shape[1:])
+    dku = jax.vmap(
+        lambda a, b: jax.vjp(lambda kk: _conv(a, kk, strides, padding), k)[1](b)[0]
+    )(xu, dyu)
+    # shared-kernel cotangent = folded total (sum over users); ghost gets the
+    # per-user grads scaled by d(mean)/d(ghost_u) inverse — the ghost enters
+    # through mean_u, so its true cotangent is dku_total/U per user; we
+    # instead return dku directly and give the kernel zeros, which makes
+    # grad-wrt-ghost THE per-user gradient (callers differentiate w.r.t. the
+    # ghost only; the kernel is a closure constant there).
+    return dx, jnp.zeros_like(k), dku
+
+
+shared_conv.defvjp(_shared_conv_fwd, _shared_conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def shared_dense(x, kernel, ghost, users: int):
+    """Folded matmul with per-user weight grads; x (U*B, Cin),
+    kernel (Cin, Cout), ghost (U, Cin, Cout) zeros."""
+    return x @ (kernel + jnp.mean(ghost, axis=0))
+
+
+def _shared_dense_fwd(x, kernel, ghost, users):
+    k = kernel + jnp.mean(ghost, axis=0)
+    return x @ k, (x, k)
+
+
+def _shared_dense_bwd(users, res, dy):
+    x, k = res
+    dx = dy @ k.T
+    xu = x.reshape(users, -1, x.shape[-1])
+    dyu = dy.reshape(users, -1, dy.shape[-1])
+    dku = jnp.einsum("ubi,ubo->uio", xu, dyu)
+    return dx, jnp.zeros_like(k), dku
+
+
+shared_dense.defvjp(_shared_dense_fwd, _shared_dense_bwd)
+
+
+def grouped_batch_stats(x, users: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-user mean/var over each user's micro-batch (reference parity:
+    each simulated worker normalizes with its own batch stats).  x
+    (U*B, H, W, C) -> (mean (U, C), var (U, C))."""
+    xg = x.reshape((users, -1, x.shape[-1]))
+    mean = jnp.mean(xg, axis=1)
+    var = jnp.mean(jnp.square(xg), axis=1) - jnp.square(mean)
+    return mean, var
+
+
+def grouped_batch_norm(x, users: int, scale, bias, eps: float = 1e-5):
+    """Folded-elementwise BN with per-user statistics.  Returns
+    (normalized x, (mean, var)) — stats are (U, C) for running-average
+    updates."""
+    shape = x.shape
+    mean, var = grouped_batch_stats(x.astype(jnp.float32), users)
+    xg = x.reshape((users, -1) + shape[1:]).astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)
+    bshape = (users,) + (1,) * (len(shape) - 1) + (shape[-1],)
+    y = (xg - mean.reshape(bshape)) * inv.reshape(bshape)
+    y = y * scale + bias
+    return y.reshape(shape).astype(x.dtype), (mean, var)

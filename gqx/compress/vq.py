@@ -98,9 +98,10 @@ class HSQCompressor(Compressor):
             else None
         )
 
-    # kernel tile sizes, swept on real TPU (scripts/sweep_v2.py, sweep_v2b.py)
-    _ENC_TILE_S = 128
-    _DEC_TILE_S = 512
+    # v3 kernel tile sizes, swept honest-timed on the real chip (PERF.md);
+    # v3 is tile-insensitive within VMEM bounds — these are the measured best
+    _ENC_TILE_S = 256
+    _DEC_TILE_S = 128
     _DECMEAN_TILE_S = 128
 
     # -- encode -------------------------------------------------------------

@@ -71,10 +71,11 @@ class HSQCompressor(Compressor):
         assert codebook.shape == (self.K, self.dim)
         self.codewords = jnp.asarray(codebook, dtype=jnp.float32)
 
-        # v2 flat-layout kernels (gqx.ops.pallas_hsq2): measured ~7x faster
-        # than the v1 (M, dim)-layout kernels on real TPU.  The codebook is
-        # rounded to bf16-exact values so the 2-pass bf16 matmul split is
-        # fp32-grade (see bf16_exact_codebook docstring).
+        # v3 flat-layout kernels (gqx.ops.pallas_hsq3; operand prep shared
+        # with pallas_hsq2): users-in-block grid + transposed signature
+        # layout — see PERF.md for the measured progression v1 -> v2 -> v3.
+        # The codebook is rounded to bf16-exact values so the 2-pass bf16
+        # matmul split is fp32-exact (bf16_exact_codebook docstring).
         from gqx.ops import pallas_hsq2 as hsq2
 
         self.flat_ok = self.use_pallas and hsq2.supports_flat(self.dim, self.K)

@@ -53,6 +53,7 @@ def make_compressor(name: str, size: int, shape: Tuple[int, ...], config,
         return HSQCompressor(
             size, shape, config.c_dim, config.k_bit, config.n_bit, random,
             use_pallas=use_pallas, norm_segment_sizes=norm_segment_sizes,
+            passes=int(getattr(config, "hsq_passes", 2)),
         )
     if name == "pvq":
         return ProbabilisticVectorCompressor(

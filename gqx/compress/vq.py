@@ -52,8 +52,10 @@ class HSQCompressor(Compressor):
         codebook_seed: int = 1,
         use_pallas: bool = False,
         norm_segment_sizes: Optional[Tuple[int, ...]] = None,
+        passes: int = 2,
     ):
         super().__init__(size, shape)
+        self.passes = int(passes)
         assert c_dim > 0 and k_bit >= 0 and n_bit > 0
         self.dim = subvector_dim(size, c_dim)
         self.k_bit = int(k_bit)
@@ -140,7 +142,7 @@ class HSQCompressor(Compressor):
 
             u, codes = hsq_encode_flat(
                 vec.reshape(-1).astype(jnp.float32), self._eh, self._el,
-                self.dim, tile_s=self._ENC_TILE_S, passes=2,
+                self.dim, tile_s=self._ENC_TILE_S, passes=self.passes,
             )
         elif self.use_pallas:
             from gqx.ops.pallas_hsq import hsq_encode
@@ -171,7 +173,7 @@ class HSQCompressor(Compressor):
 
             return hsq_decode_flat(
                 codes, u, self._eh, self._el, self.dim,
-                tile_s=self._DEC_TILE_S, passes=2,
+                tile_s=self._DEC_TILE_S, passes=self.passes,
             ).reshape(self.shape)
         if self.use_pallas:
             from gqx.ops.pallas_hsq import hsq_decode
@@ -192,7 +194,7 @@ class HSQCompressor(Compressor):
         users = vecs.shape[0]
         u, codes = hsq_encode_flat(
             vecs.reshape(users, -1).astype(jnp.float32), self._eh, self._el,
-            self.dim, tile_s=self._ENC_TILE_S, passes=2,
+            self.dim, tile_s=self._ENC_TILE_S, passes=self.passes,
         )
         sig: Sig = {"codes": codes.astype(code_dtype(self.code_bits))}
         if self.compressed_norm:
@@ -214,7 +216,7 @@ class HSQCompressor(Compressor):
         users = codes.shape[0]
         return hsq_decode_flat(
             codes, u, self._eh, self._el, self.dim,
-            tile_s=self._DEC_TILE_S, passes=2,
+            tile_s=self._DEC_TILE_S, passes=self.passes,
         ).reshape((users,) + self.shape)
 
     def decode_mean(self, sig: Sig) -> jax.Array:
@@ -232,7 +234,7 @@ class HSQCompressor(Compressor):
             u = sig["u"]
         return hsq_decode_mean(
             codes, u, self._eh, self._el, self.dim,
-            tile_s=self._DECMEAN_TILE_S, passes=2,
+            tile_s=self._DECMEAN_TILE_S, passes=self.passes,
         ).reshape(self.shape)
 
     @property

@@ -117,6 +117,12 @@ class GQConfig:
     codebook_dir: Optional[str] = None
     data_dir: str = "./data"
     use_pallas: Optional[bool] = None # None = auto (TPU only)
+    hsq_passes: int = 2               # bf16 matmul passes in the HSQ kernels:
+                                      # 2 = fp32-exact vs the bf16-exact
+                                      # codebook (default); 1 = bf16-rounded
+                                      # input (~0.4% u perturbation, below
+                                      # the 6-bit norm-quantization step;
+                                      # encode 21 -> 17.6 ms measured)
     mesh_axis: str = "users"
     eval_batch_count: Optional[int] = None  # limit eval batches (None = all)
     profile_dir: Optional[str] = None # dump an xprof trace of a few steady-state

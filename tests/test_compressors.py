@@ -270,3 +270,18 @@ def test_compress_is_jit_and_vmap_compatible(rng):
     keys = jax.random.split(key(5), 8)
     out = jax.jit(jax.vmap(c.roundtrip))(v, keys)
     assert out.shape == v.shape
+
+
+def test_hsq_passes_knob_threads_through():
+    from gqx.compress import make_compressor
+    from gqx.config import GQConfig
+
+    cfg = GQConfig(quantizer="hsq", c_dim=16, k_bit=6, n_bit=6,
+                   dataset="synthetic")
+    cfg.hsq_passes = 1
+    comp = make_compressor("hsq", 1024, (1024,), cfg)
+    assert comp.passes == 1
+    from gqx.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(["--hsq-passes", "1"])
+    assert config_from_args(args).hsq_passes == 1

@@ -65,6 +65,9 @@ def measure_e2e(network: str, use_pallas: bool, quant: str = "hsq") -> float:
         **CANONICAL[quant],
     )
     cfg.use_pallas = use_pallas
+    # folded-users fast path: same per-user gradient math through a faster
+    # fp composition (tests/test_folded.py; PERF.md) — ~+28% on hsq
+    cfg.folded_users = os.environ.get("GQX_BENCH_FOLDED", "1") == "1"
     # unscanned ResNet + pallas encode compiles in ~30s and runs ~20% faster
     # than scan_blocks (the historic 14-min compile was the chunked-XLA
     # encode, retired by the v2 kernels)

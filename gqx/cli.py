@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="float32")
     p.add_argument("--data-dir", type=str, default="./data")
     p.add_argument("--use-pallas", type=int, default=None)
+    p.add_argument("--folded-users", action="store_true", default=False,
+                   help="sim backend: folded-batch fwd/bwd with ghost-routed "
+                        "per-user grads (faster; see PERF.md)")
     p.add_argument("--hsq-passes", type=int, default=2, choices=[1, 2, 6],
                    help="bf16 matmul passes in the HSQ kernels (2 = "
                         "fp32-exact default, 1 = fast bf16-rounded input)")
@@ -105,6 +108,7 @@ def config_from_args(args) -> GQConfig:
         data_dir=args.data_dir,
         use_pallas=None if args.use_pallas is None else bool(args.use_pallas),
         hsq_passes=args.hsq_passes,
+        folded_users=args.folded_users,
         profile_dir=args.profile_dir,
         profile_steps=args.profile_steps,
     )

@@ -123,6 +123,11 @@ class GQConfig:
                                       # input (~0.4% u perturbation, below
                                       # the 6-bit norm-quantization step;
                                       # encode 21 -> 17.6 ms measured)
+    folded_users: bool = False        # sim backend: run fwd/bwd on the
+                                      # folded U*B batch with ghost-routed
+                                      # per-user grads (2x faster backward,
+                                      # PERF.md; grads match the vmap path —
+                                      # tests/test_folded.py)
     mesh_axis: str = "users"
     eval_batch_count: Optional[int] = None  # limit eval batches (None = all)
     profile_dir: Optional[str] = None # dump an xprof trace of a few steady-state

@@ -113,7 +113,12 @@ def grouped_batch_stats(x, users: int) -> Tuple[jax.Array, jax.Array]:
     (U*B, H, W, C) -> (mean (U, C), var (U, C))."""
     xg = x.reshape((users, -1, x.shape[-1]))
     mean = jnp.mean(xg, axis=1)
-    var = jnp.mean(jnp.square(xg), axis=1) - jnp.square(mean)
+    # flax _compute_stats "fast variance": Var = E[x^2] - E[x]^2, negatives
+    # clipped — matched exactly so the folded path reproduces nn.BatchNorm
+    # bit-for-bit-ish (the vmapped reference path uses flax BN)
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(xg), axis=1) - jnp.square(mean)
+    )
     return mean, var
 
 

@@ -17,6 +17,7 @@ Decode is expressed as one-hot(codes) @ codebook so it also rides the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -26,6 +27,18 @@ import numpy as np
 from gqx.codebooks import get_codebook, orthonormal_codebook
 from gqx.compress.api import Compressor, Sig, code_dtype, subvector_dim
 from gqx.compress.scalar import ProbabilisticScalarCompressor
+
+
+def _hsq_kernels():
+    """Flat-layout kernel generation: v4 (vectorized selection/one-hot) is
+    the default; GQX_HSQ_KGEN=3 selects the per-block-loop v3 bodies (same
+    layout contract, bit-identical outputs — tests/test_pallas_v4.py) for
+    A/B measurement (PERF.md)."""
+    if os.environ.get("GQX_HSQ_KGEN", "4") == "3":
+        from gqx.ops import pallas_hsq3 as mod
+    else:
+        from gqx.ops import pallas_hsq4 as mod
+    return mod
 
 
 class HSQCompressor(Compressor):
@@ -138,7 +151,7 @@ class HSQCompressor(Compressor):
 
     def compress(self, vec, key: Optional[jax.Array] = None) -> Sig:
         if self.flat_ok:
-            from gqx.ops.pallas_hsq3 import hsq_encode_flat
+            hsq_encode_flat = _hsq_kernels().hsq_encode_flat
 
             u, codes = hsq_encode_flat(
                 vec.reshape(-1).astype(jnp.float32), self._eh, self._el,
@@ -169,7 +182,7 @@ class HSQCompressor(Compressor):
         else:
             u = sig["u"]
         if self.flat_ok:
-            from gqx.ops.pallas_hsq3 import hsq_decode_flat
+            hsq_decode_flat = _hsq_kernels().hsq_decode_flat
 
             return hsq_decode_flat(
                 codes, u, self._eh, self._el, self.dim,
@@ -189,7 +202,7 @@ class HSQCompressor(Compressor):
     def compress_batch(self, vecs, keys) -> Sig:
         if not self.flat_ok:
             return super().compress_batch(vecs, keys)
-        from gqx.ops.pallas_hsq3 import hsq_encode_flat
+        hsq_encode_flat = _hsq_kernels().hsq_encode_flat
 
         users = vecs.shape[0]
         u, codes = hsq_encode_flat(
@@ -206,7 +219,7 @@ class HSQCompressor(Compressor):
     def decompress_batch(self, sig: Sig) -> jax.Array:
         if not self.flat_ok:
             return super().decompress_batch(sig)
-        from gqx.ops.pallas_hsq3 import hsq_decode_flat
+        hsq_decode_flat = _hsq_kernels().hsq_decode_flat
 
         codes = sig["codes"].astype(jnp.int32)
         if self.compressed_norm:
@@ -225,7 +238,7 @@ class HSQCompressor(Compressor):
         times then means)."""
         if not self.flat_ok:
             return super().decode_mean(sig)
-        from gqx.ops.pallas_hsq3 import hsq_decode_mean
+        hsq_decode_mean = _hsq_kernels().hsq_decode_mean
 
         codes = sig["codes"].astype(jnp.int32)
         if self.compressed_norm:

@@ -123,11 +123,14 @@ class GQConfig:
                                       # input (~0.4% u perturbation, below
                                       # the 6-bit norm-quantization step;
                                       # encode 21 -> 17.6 ms measured)
-    folded_users: bool = False        # sim backend: run fwd/bwd on the
+    folded_users: bool = True         # sim backend: run fwd/bwd on the
                                       # folded U*B batch with ghost-routed
                                       # per-user grads (2x faster backward,
                                       # PERF.md; grads match the vmap path —
-                                      # tests/test_folded.py)
+                                      # tests/test_folded.py; 10-seed digits
+                                      # convergence gate identical seed-for-
+                                      # seed: results/folded_gate/gate.json,
+                                      # scripts/folded_gate.py)
     mesh_axis: str = "users"
     eval_batch_count: Optional[int] = None  # limit eval batches (None = all)
     profile_dir: Optional[str] = None # dump an xprof trace of a few steady-state

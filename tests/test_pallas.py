@@ -184,3 +184,50 @@ def test_hsq3_zero_rows_decode_to_zero(rng):
     assert np.all(np.asarray(u)[:5] == 0.0)
     dec = hsq_decode_flat(codes, u, eh, el, dim, tile_s=8, passes=2, interpret=True)
     assert np.all(np.asarray(dec)[: 16 * 5] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# v4 vectorized-selection kernels (gqx.ops.pallas_hsq4): bit-identical to v3
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dim,k,size", [(16, 256, 16 * 403), (32, 64, 32 * 77), (8, 32, 8 * 513)])
+def test_hsq4_bit_identical_to_v3(rng, dim, k, size):
+    from gqx.ops import pallas_hsq3 as v3
+    from gqx.ops import pallas_hsq4 as v4
+
+    cb, eh, el, _, _, _ = _flat_refs(rng, dim, k, size)
+    users = 3
+    flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
+
+    u3, c3 = v3.hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
+                                interpret=True)
+    u4, c4 = v4.hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(c4), np.asarray(c3))
+    np.testing.assert_array_equal(np.asarray(u4), np.asarray(u3))
+
+    d3 = v3.hsq_decode_flat(c3, u3, eh, el, dim, tile_s=8, passes=2,
+                            interpret=True)
+    d4 = v4.hsq_decode_flat(c3, u3, eh, el, dim, tile_s=8, passes=2,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(d4), np.asarray(d3))
+
+    m3 = v3.hsq_decode_mean(c3, u3, eh, el, dim, tile_s=8, passes=2,
+                            interpret=True)
+    m4 = v4.hsq_decode_mean(c3, u3, eh, el, dim, tile_s=8, passes=2,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(m4), np.asarray(m3), rtol=0, atol=0)
+
+
+def test_hsq4_unbatched_matches_v3(rng):
+    from gqx.ops import pallas_hsq3 as v3
+    from gqx.ops import pallas_hsq4 as v4
+
+    dim, k, size = 16, 64, 16 * 200
+    cb, eh, el, _, _, flat = _flat_refs(rng, dim, k, size)
+    u3, c3 = v3.hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2,
+                                interpret=True)
+    u4, c4 = v4.hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(c4), np.asarray(c3))
+    np.testing.assert_array_equal(np.asarray(u4), np.asarray(u3))

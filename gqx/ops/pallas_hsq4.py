@@ -37,29 +37,48 @@ from gqx.ops.pallas_hsq3 import (  # shared geometry + transposed-layout prep
 )
 
 
+def _select(p, iota3, nblocks, k, tile_s):
+    """(B*K, tile) product -> (uj (B, tile) signed max-|.| value,
+    idx (B, tile) first index attaining it)."""
+    p3 = p.reshape(nblocks, k, tile_s)
+    # signed value with max |.|; +v wins an exact +v/-v tie (measure-zero
+    # deviation from torch argmax(|p|))
+    pos = jnp.max(p3, axis=1)                             # (B, tile)
+    neg = jnp.min(p3, axis=1)
+    uj = jnp.where(pos >= -neg, pos, neg)
+    # first index attaining the value (torch first-tie semantics)
+    idx = jnp.min(jnp.where(p3 == uj[:, None, :], iota3, k), axis=1)
+    return uj, idx
+
+
 def _encode_kernel(x_ref, eh_ref, el_ref, u_ref, codes_ref, *, nblocks, k,
-                   passes):
+                   passes, pipeline=False):
     users = x_ref.shape[0]
     tile_s = x_ref.shape[1]
     iota3 = jax.lax.broadcasted_iota(jnp.int32, (nblocks, k, tile_s), 1)
+    if not pipeline:
+        for uu in range(users):
+            p = _dot_t(eh_ref, el_ref, x_ref[uu], passes)  # (B*K, tile)
+            uj, idx = _select(p, iota3, nblocks, k, tile_s)
+            u_ref[uu] = uj
+            codes_ref[uu] = idx
+        return
+    # software pipeline: issue user uu+1's MXU contraction before user uu's
+    # VPU selection so the two units can overlap (probe; scripts/ab_kgen.py)
+    p = _dot_t(eh_ref, el_ref, x_ref[0], passes)
     for uu in range(users):
-        p = _dot_t(eh_ref, el_ref, x_ref[uu], passes)     # (B*K, tile)
-        p3 = p.reshape(nblocks, k, tile_s)
-        # signed value with max |.|; +v wins an exact +v/-v tie (measure-zero
-        # deviation from torch argmax(|p|))
-        pos = jnp.max(p3, axis=1)                         # (B, tile)
-        neg = jnp.min(p3, axis=1)
-        uj = jnp.where(pos >= -neg, pos, neg)
-        # first index attaining the value (torch first-tie semantics)
-        idx = jnp.min(
-            jnp.where(p3 == uj[:, None, :], iota3, k), axis=1
+        p_cur, p = p, (
+            _dot_t(eh_ref, el_ref, x_ref[uu + 1], passes)
+            if uu + 1 < users else None
         )
+        uj, idx = _select(p_cur, iota3, nblocks, k, tile_s)
         u_ref[uu] = uj
         codes_ref[uu] = idx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dim", "tile_s", "passes", "interpret")
+    jax.jit,
+    static_argnames=("dim", "tile_s", "passes", "interpret", "pipeline"),
 )
 def hsq_encode_flat(
     flat: jax.Array,
@@ -69,6 +88,7 @@ def hsq_encode_flat(
     tile_s: int = DEFAULT_TILE_S,
     passes: int = 2,
     interpret: bool = False,
+    pipeline: bool = False,
 ):
     """Drop-in for pallas_hsq3.hsq_encode_flat (same layout contract)."""
     batched = flat.ndim == 2
@@ -83,7 +103,8 @@ def hsq_encode_flat(
     x = flat.reshape(users, s_pad, LANES)
 
     u_t, codes_t = pl.pallas_call(
-        functools.partial(_encode_kernel, nblocks=b, k=k, passes=passes),
+        functools.partial(_encode_kernel, nblocks=b, k=k, passes=passes,
+                          pipeline=pipeline),
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((users, tile_s, LANES), lambda i: (0, i, 0),

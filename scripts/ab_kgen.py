@@ -46,14 +46,17 @@ def main():
           f"passes={args.passes}")
 
     results = {}
-    for name, mod in (("v3", v3), ("v4", v4)):
-        enc = lambda f, _m=mod: _m.hsq_encode_flat(
-            f, eh, el, dim, tile_s=args.enc_tile, passes=args.passes)
+    for name, mod in (("v3", v3), ("v4", v4), ("v4p", v4)):
+        enc = lambda f, _m=mod, _p=(name == "v4p"): _m.hsq_encode_flat(
+            f, eh, el, dim, tile_s=args.enc_tile, passes=args.passes,
+            **({"pipeline": True} if _p else {}))
         dt, (u, codes) = timeit(jax.jit(enc), flats, n=10)
         results[f"{name}/encode"] = dt * 1e3
         gbps = users * size * 4 / dt / 1e9
         print(f"{name} encode      {dt*1e3:7.2f} ms  ({gbps:6.1f} GB/s in)")
 
+        if name == "v4p":
+            continue  # encode-only variant
         dec = lambda c, uu, _m=mod: _m.hsq_decode_flat(
             c, uu, eh, el, dim, tile_s=args.dec_tile, passes=args.passes)
         dt, _ = timeit(jax.jit(dec), codes, u, n=10)

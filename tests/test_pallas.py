@@ -231,3 +231,17 @@ def test_hsq4_unbatched_matches_v3(rng):
                                 interpret=True)
     np.testing.assert_array_equal(np.asarray(c4), np.asarray(c3))
     np.testing.assert_array_equal(np.asarray(u4), np.asarray(u3))
+
+
+def test_hsq4_pipelined_encode_bit_identical(rng):
+    from gqx.ops import pallas_hsq4 as v4
+
+    dim, k, size, users = 16, 64, 16 * 200, 4
+    cb, eh, el, _, _, _ = _flat_refs(rng, dim, k, size)
+    flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
+    u0, c0 = v4.hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
+                                interpret=True)
+    u1, c1 = v4.hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
+                                interpret=True, pipeline=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u0))

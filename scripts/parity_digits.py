@@ -70,7 +70,7 @@ def write_csv(path, rows):
 # reference side (torch CPU, /root/reference modules)
 # ---------------------------------------------------------------------------
 
-def run_reference(name: str, cfg: dict, data) -> list:
+def run_reference(name: str, cfg: dict, data, network: str = "fcn") -> list:
     import torch
 
     sys.path.insert(0, REFERENCE)
@@ -83,6 +83,7 @@ def run_reference(name: str, cfg: dict, data) -> list:
             QSGDCompressor,
             SignSGDCompressor,
         )
+        from models.cnn import CNN
         from models.fcn import FCN
         from quantizers.ps_quantizer import PSQuantizer
 

@@ -78,10 +78,12 @@ class MaureySparsificationCompressor(Compressor):
         cdf = jnp.cumsum(jnp.abs(flat) / safe_l1)
         r = jax.random.uniform(key, (self.k,))
         codes = jnp.clip(jnp.searchsorted(cdf, r), 0, self.size - 1).astype(jnp.int32)
-        # Strict ±1 signs: a sampled coordinate has |v| > 0 with probability 1
-        # (p_i ∝ |v_i|), so sign(v)=0 only on measure-zero searchsorted
-        # boundary clips; mapping it to +1 keeps the 1-bit wire sign lossless.
-        signs = jnp.where(flat[codes] >= 0, 1.0, -1.0)
+        # Reference-exact signs (maurey_sparsification.py:36 uses torch.sign):
+        # a sampled zero coordinate — possible only via searchsorted boundary
+        # clips (e.g. an all-zero vector) — keeps sign 0 and so decodes to 0.
+        # The packed wire carries the sign as a 2-bit trit (gqx/ops/wire.py)
+        # so the {-1, 0, +1} value roundtrips bit-exactly.
+        signs = jnp.sign(flat[codes])
         return {"scale": l1 / self.k, "codes": codes, "signs": signs}
 
     def decompress(self, sig) -> jax.Array:

@@ -32,8 +32,8 @@ from gqx.compress.scalar import ProbabilisticScalarCompressor
 def _hsq_kernels():
     """Flat-layout kernel generation: v4 (vectorized selection/one-hot) is
     the default; GQX_HSQ_KGEN=3 selects the per-block-loop v3 bodies (same
-    layout contract, bit-identical outputs — tests/test_pallas_v4.py) for
-    A/B measurement (PERF.md)."""
+    layout contract, bit-identical outputs — tests/test_pallas.py:190-244)
+    for A/B measurement (PERF.md)."""
     if os.environ.get("GQX_HSQ_KGEN", "4") == "3":
         from gqx.ops import pallas_hsq3 as mod
     else:
@@ -99,9 +99,6 @@ class HSQCompressor(Compressor):
             self.codewords = jnp.asarray(cb)
             self._eh, self._el = map(
                 jnp.asarray, hsq2.split_hi_lo(hsq2.expand_codebook(cb))
-            )
-            self._e2h, self._e2l = map(
-                jnp.asarray, hsq2.split_hi_lo(hsq2.expand_codebook_t(cb))
             )
 
         self.compressed_norm = self.n_bit != 32

@@ -23,8 +23,10 @@ DATASET_CLASSES = {
     "tinyimg": 200,
     "synthetic": 10,
     # real handwritten digits bundled with scikit-learn (offline MNIST
-    # stand-in for convergence-parity runs; gqx/data/datasets.py)
+    # stand-in for convergence-parity runs; gqx/data/datasets.py);
+    # digits32 = the same images at 32x32x3 for the conv/BN model families
     "digits": 10,
+    "digits32": 10,
 }
 
 QUANTIZER_CHOICES = (
@@ -133,6 +135,10 @@ class GQConfig:
                                       # scripts/folded_gate.py)
     mesh_axis: str = "users"
     eval_batch_count: Optional[int] = None  # limit eval batches (None = all)
+    dataset_kwargs: Optional[dict] = None   # extra loader kwargs (e.g. the
+                                            # digits k-fold split
+                                            # fold=(k, i) used by the
+                                            # parity power study)
     profile_dir: Optional[str] = None # dump an xprof trace of a few steady-state
                                       # steps here (view with xprof/tensorboard)
     profile_steps: int = 5            # how many steps the trace covers
@@ -162,7 +168,7 @@ def resolve_schedule(config: GQConfig) -> Tuple[int, float, Sequence[int], Seque
     weight_decay = config.weight_decay
     base_lr = config.lr
 
-    if config.dataset in ("mnist", "digits"):
+    if config.dataset in ("mnist", "digits", "digits32"):
         epochs, boundaries, lrs = 20, (), ()
     elif config.dataset == "tinyimg":
         epochs, boundaries, lrs = 1000, (51,), (0.01,)

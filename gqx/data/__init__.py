@@ -37,7 +37,8 @@ class Pipeline:
         self.batch_size = config.batch_size
         self.test_batch_size = config.test_batch_size
         (self.train_x, self.train_y), (self.test_x, self.test_y) = load_dataset(
-            config.dataset, config.data_dir
+            config.dataset, config.data_dir,
+            **(getattr(config, "dataset_kwargs", None) or {})
         )
         self.global_batch = self.batch_size * self.num_users
         self.steps_per_epoch = len(self.train_x) // self.global_batch

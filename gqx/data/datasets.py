@@ -16,7 +16,7 @@ import gzip
 import os
 import pickle
 import struct
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -139,13 +139,24 @@ def load_tinyimagenet(data_dir: str, size: int = 64) -> Tuple[Split, Split]:
     return split("train"), split("val")
 
 
-def load_digits_data(data_dir: str = "", image_size: int = 28) -> Tuple[Split, Split]:
+def load_digits_data(
+    data_dir: str = "",
+    image_size: int = 28,
+    channels: int = 1,
+    fold: Optional[Tuple[int, int]] = None,
+) -> Tuple[Split, Split]:
     """Real handwritten-digit images bundled with scikit-learn (UCI ML
     hand-written digits, 1797 samples, 10 classes, 8x8 grayscale) — the
     offline stand-in for MNIST when no raw MNIST files are present.
-    Upscaled bilinearly to 28x28 so the reference's 784-input FCN
-    (reference models/fcn.py:5-24) applies unchanged.  Deterministic
-    shuffled split: 1500 train / 297 test."""
+    Upscaled bilinearly to ``image_size`` (28 so the reference's 784-input
+    FCN — reference models/fcn.py:5-24 — applies unchanged; 32 with
+    ``channels=3`` for the CIFAR-shaped conv models).
+
+    Splits (always over the same deterministic rng(0) shuffle of all 1797):
+      - ``fold=None``: legacy fixed 1500 train / 297 test split;
+      - ``fold=(k, i)``: k-fold cross-validation — test = block i of size
+        1797//k, train = the rest.  Over i=0..k-1 every sample is tested
+        exactly once, giving parity studies the full 1797-sample power."""
     from PIL import Image
     from sklearn.datasets import load_digits as _sk_digits
 
@@ -158,8 +169,26 @@ def load_digits_data(data_dir: str = "", image_size: int = 28) -> Tuple[Split, S
     y = d.target.astype(np.int64)
     order = np.random.default_rng(0).permutation(len(up))
     up, y = up[order][..., None], y[order]
-    n_train = 1500
-    return (up[:n_train], y[:n_train]), (up[n_train:], y[n_train:])
+    if channels > 1:
+        up = np.repeat(up, channels, axis=-1)
+    if fold is None:
+        n_train = 1500
+        return (up[:n_train], y[:n_train]), (up[n_train:], y[n_train:])
+    k, i = fold
+    assert 0 <= i < k, fold
+    block = len(up) // k
+    lo, hi = i * block, (i + 1) * block if i < k - 1 else len(up)
+    test_idx = np.arange(lo, hi)
+    train_idx = np.concatenate([np.arange(0, lo), np.arange(hi, len(up))])
+    return (up[train_idx], y[train_idx]), (up[test_idx], y[test_idx])
+
+
+def load_digits32_data(data_dir: str = "", fold=None) -> Tuple[Split, Split]:
+    """Digits upscaled to 32x32x3: real image data in the CIFAR input shape,
+    so the conv/BatchNorm model families (resnet*/vgg*/dense) can be trained
+    to convergence offline (reference models/resnet.py:68-100 expect 3-channel
+    32x32 input)."""
+    return load_digits_data(data_dir, image_size=32, channels=3, fold=fold)
 
 
 def load_synthetic(
@@ -195,10 +224,11 @@ LOADERS = {
     "tinyimg": load_tinyimagenet,
     "synthetic": load_synthetic,
     "digits": load_digits_data,
+    "digits32": load_digits32_data,
 }
 
 
-def load_dataset(name: str, data_dir: str) -> Tuple[Split, Split]:
+def load_dataset(name: str, data_dir: str, **kwargs) -> Tuple[Split, Split]:
     if name not in LOADERS:
         raise ValueError(f"unknown dataset {name!r}")
-    return LOADERS[name](data_dir)
+    return LOADERS[name](data_dir, **kwargs)

@@ -27,6 +27,7 @@ STATS = {
     "tinyimg": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "synthetic": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
     "digits": ((0.1307,), (0.3081,)),  # MNIST stats (stand-in dataset)
+    "digits32": ((0.1307,) * 3, (0.3081,) * 3),
 }
 
 AUGMENT = {  # (random_crop_padding, horizontal_flip)
@@ -38,6 +39,9 @@ AUGMENT = {  # (random_crop_padding, horizontal_flip)
     "tinyimg": (4, True),
     "synthetic": (0, False),
     "digits": (0, False),
+    # no crop/flip: keeps the conv-model parity comparison free of
+    # augmentation randomness (and flips would corrupt digit identity)
+    "digits32": (0, False),
 }
 
 

@@ -115,10 +115,14 @@ def pack_signature(comp, sig) -> Wire:
             "indices": pack_uint(sig["indices"].astype(jnp.uint32), idx_bits),
         }
     if isinstance(comp, MaureySparsificationCompressor):
+        # signs are {-1, 0, +1} (reference torch.sign semantics — zero is
+        # reachable via searchsorted boundary clips): pack as 2-bit trits so
+        # the roundtrip is bit-exact, like SignSGD above.
+        trits = (jnp.sign(sig["signs"]) + 1.0).astype(jnp.uint32)
         return {
             "scale": f32_to_words(sig["scale"][None]),
             "codes": pack_uint(sig["codes"].astype(jnp.uint32), comp.idx_bits),
-            "signs": pack_uint((sig["signs"] > 0).astype(jnp.uint32), 1),
+            "signs": pack_uint(trits, 2),
         }
     raise TypeError(type(comp))
 
@@ -160,11 +164,11 @@ def unpack_signature(comp, wire: Wire):
             "indices": unpack_uint(wire["indices"], idx_bits, comp.k).astype(jnp.int32),
         }
     if isinstance(comp, MaureySparsificationCompressor):
-        signs_bit = unpack_uint(wire["signs"], 1, comp.k).astype(jnp.float32)
+        trits = unpack_uint(wire["signs"], 2, comp.k).astype(jnp.float32)
         return {
             "scale": words_to_f32(wire["scale"], (1,))[0],
             "codes": unpack_uint(wire["codes"], comp.idx_bits, comp.k).astype(jnp.int32),
-            "signs": 2.0 * signs_bit - 1.0,
+            "signs": trits - 1.0,
         }
     raise TypeError(type(comp))
 
@@ -194,5 +198,6 @@ def wire_bytes(comp) -> int:
         idx_bits = 16 if comp.size <= (1 << 16) else 32
         return 4 * (comp.k + packed_words(comp.k, idx_bits))
     if isinstance(comp, MaureySparsificationCompressor):
-        return 4 * (1 + packed_words(comp.k, comp.idx_bits) + packed_words(comp.k, 1))
+        # scale + idx_bits/sample + 2-bit sign trit/sample
+        return 4 * (1 + packed_words(comp.k, comp.idx_bits) + packed_words(comp.k, 2))
     raise TypeError(type(comp))

@@ -15,15 +15,14 @@ matmuls.  Here leaves are packed into units:
   - ragged leaves (size % c_dim != 0) -> individual units with the
     reference's dim fixup.
 
-Semantic deltas vs strict per-layer compression (only in grouped mode): the
-top-k / Maurey budgets span the group instead of one layer.  The VQ-family
-norm quantizer is NOT a delta: its min/max ranges are segmented per original
-leaf inside the grouped unit (``norm_segment_sizes``), bit-matching the
-reference's per-layer ranges.  ``grouping='none'`` restores exact per-leaf
-behavior for everything (used by the parity tests).
-
-TernGrad-style whole-layer buckets (c_dim == 0) always stay per-leaf — a
-merged bucket would change the math.
+Grouping is semantics-preserving by construction: compressors with
+per-layer budgets or whole-layer statistics (top-k / Maurey / TernGrad-style
+c_dim==0 buckets) always stay per-leaf, and the VQ-family norm quantizer's
+min/max ranges are segmented per original leaf inside the grouped unit
+(``norm_segment_sizes``), bit-matching the reference's per-layer ranges.
+``grouping='none'`` restores strict per-leaf units for everything (used by
+the parity tests); for sign/qsgd/hsq the grouped math is proven equivalent
+(tests/test_aggregate.py grouped-vs-leafwise tests).
 """
 
 from __future__ import annotations
@@ -233,8 +232,12 @@ def plan_units(params: PyTree, config) -> UnitPlan:
     group_ok = (
         grouping != "none"
         # whole-layer-bucket compressors must stay per-leaf: merging would
-        # change the bucket scope (terngrad always, qsgd/hsq when c_dim==0)
-        and name not in ("sgd", "terngrad")
+        # change the bucket scope (terngrad always, qsgd/hsq when c_dim==0).
+        # top-k / Maurey budgets are per-layer in the reference
+        # (topk_sparsification_compressor.py:15-16, maurey_sparsification.py:9)
+        # — a grouped budget selects different coordinates, so they are
+        # never grouped (equivalence test: tests/test_aggregate.py).
+        and name not in ("sgd", "terngrad", "topk", "maurey")
         and not (name in ("qsgd", "hsq") and config.c_dim == 0)
     )
 

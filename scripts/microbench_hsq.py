@@ -72,13 +72,15 @@ def main():
     cb = comp.codewords
     print(f"big unit: M={M} dim={dim} K={K} ({M*dim*4/1e6:.0f} MB/user)")
 
-    # --- encode (the path the compressor actually uses: v2 flat on TPU) ---
+    # --- encode (the path the compressor actually uses: flat kernels on TPU,
+    # current generation per GQX_HSQ_KGEN — gqx.compress.vq._hsq_kernels) ---
     if comp.flat_ok:
-        from gqx.ops.pallas_hsq2 import hsq_encode_flat
+        from gqx.compress.vq import _hsq_kernels
 
-        encf = jax.jit(jax.vmap(lambda r: hsq_encode_flat(
-            r.reshape(-1), comp._eh, comp._el, comp.dim,
-            tile_s=comp._ENC_TILE_S, passes=2)))
+        kmod = _hsq_kernels()
+        encf = jax.jit(lambda r: kmod.hsq_encode_flat(
+            r.reshape(U, -1), comp._eh, comp._el, comp.dim,
+            tile_s=comp._ENC_TILE_S, passes=comp.passes))
     elif on_tpu:
         encf = jax.jit(jax.vmap(lambda r: hsq_encode(r, cb)))
     else:
@@ -93,13 +95,11 @@ def main():
     dt, uq = timeit(nrmf, uu, keys)
     print(f"norms:     {dt*1e3:8.2f} ms  ({U*M*4/dt/1e9:6.1f} GB/s)")
 
-    # --- decode (v2 fused decode-mean is what PS aggregation uses) ---
+    # --- decode (fused decode-mean is what PS aggregation uses) ---
     if comp.flat_ok:
-        from gqx.ops.pallas_hsq2 import hsq_decode_mean
-
-        dmf = jax.jit(lambda c, u_: hsq_decode_mean(
-            c, u_, comp._e2h, comp._e2l, comp.dim,
-            tile_s=comp._DECMEAN_TILE_S, passes=2))
+        dmf = jax.jit(lambda c, u_: kmod.hsq_decode_mean(
+            c, u_, comp._eh, comp._el, comp.dim,
+            tile_s=comp._DECMEAN_TILE_S, passes=comp.passes))
         dt, _ = timeit(dmf, codes.astype(jnp.int32), uq)
         print(f"decmean:   {dt*1e3:8.2f} ms  ({M*dim*4/dt/1e9:6.1f} GB/s out)")
     if on_tpu:

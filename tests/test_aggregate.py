@@ -256,3 +256,29 @@ def test_outfirst_matches_torch_for_dense_and_1x1():
     o = np.transpose(a, outfirst_axis_order(shape)).reshape(16, -1)
     # each row (one output unit) holds the same SET of weights
     np.testing.assert_array_equal(np.sort(t, axis=1), np.sort(o, axis=1))
+
+
+def test_grouped_vs_leafwise_topk_maurey_equivalence(rng):
+    """Top-k and Maurey budgets are per-layer in the reference
+    (topk_sparsification_compressor.py:15-16, maurey_sparsification.py:9), so
+    plan_units never groups them: grouping='auto' must produce exactly the
+    per-leaf plan and bit-identical aggregates to grouping='none'."""
+    params = {"a": jnp.zeros((64, 64)), "b": jnp.zeros((32, 48))}
+    grads = make_grads(rng, {"a": (64, 64), "b": (32, 48)})
+    for name in ("topk", "maurey"):
+        agg_by_mode = {}
+        for grouping in ("auto", "none"):
+            cfg = GQConfig(quantizer=name, c_dim=32, k_bit=8, n_bit=8, cr=64,
+                           dataset="synthetic", grouping=grouping)
+            plan = plan_units(params, cfg)
+            # every compressed unit must cover exactly one leaf
+            assert all(len(u.leaf_indices) == 1 for u in plan.units
+                       if not isinstance(u.compressor, IdenticalCompressor)), name
+            state = init_state(plan, U, ef=False, two_phase=False)
+            agg, _ = ps_aggregate(plan, grads, state, jnp.float32(1.0),
+                                  jax.random.PRNGKey(0))
+            agg_by_mode[grouping] = agg
+        for k in grads:
+            np.testing.assert_array_equal(
+                np.asarray(agg_by_mode["auto"][k]), np.asarray(agg_by_mode["none"][k])
+            ), name

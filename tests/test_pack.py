@@ -130,3 +130,27 @@ def test_pack_is_jittable(rng):
     out = roundtrip_wire(v, jax.random.PRNGKey(1))
     ref = comp.decompress(comp.compress(v, jax.random.PRNGKey(1)))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_maurey_wire_sign_zero_roundtrip():
+    """Maurey signs are {-1, 0, +1} (reference maurey_sparsification.py:36
+    torch.sign semantics — zero reachable via searchsorted boundary clips on
+    an all-zero vector): the 2-bit trit wire must roundtrip all three values
+    bit-exactly, including zeros."""
+    cfg = GQConfig(quantizer="maurey", c_dim=32, k_bit=8, n_bit=8,
+                   dataset="synthetic")
+    comp = make_compressor("maurey", 2048, (2048,), cfg)
+    # an all-zero vector samples clipped boundary indices -> sign(0) = 0
+    sig0 = comp.compress(jnp.zeros((2048,), jnp.float32), jax.random.PRNGKey(0))
+    assert np.all(np.asarray(sig0["signs"]) == 0.0)
+    # synthetic signature exercising every trit value
+    k = comp.k
+    sig = dict(sig0)
+    sig["signs"] = jnp.asarray(np.resize([-1.0, 0.0, 1.0], k), jnp.float32)
+    for s in (sig0, sig):
+        back = unpack_signature(comp, pack_signature(comp, s))
+        np.testing.assert_array_equal(np.asarray(back["signs"]), np.asarray(s["signs"]))
+        np.testing.assert_array_equal(np.asarray(back["codes"]), np.asarray(s["codes"]))
+        # decompress of sign-0 entries contributes exactly 0
+        dec = comp.decompress(back)
+        assert dec.shape == (2048,)

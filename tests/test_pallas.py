@@ -49,72 +49,20 @@ def test_hsq_encode_vmap(rng):
 
 
 # ---------------------------------------------------------------------------
-# v2 flat-layout kernels (gqx.ops.pallas_hsq2)
+# shared flat-layout operand prep (gqx.ops.pallas_hsq2 helpers)
 # ---------------------------------------------------------------------------
 
 def _flat_refs(rng, dim, k, size):
     from gqx.ops.pallas_hsq2 import (
-        bf16_exact_codebook, expand_codebook, expand_codebook_t, split_hi_lo,
+        bf16_exact_codebook, expand_codebook, split_hi_lo,
     )
 
     cb = rng.standard_normal((k, dim)).astype(np.float32)
     cb /= np.linalg.norm(cb, axis=1, keepdims=True)
     cb = bf16_exact_codebook(cb)
     eh, el = map(jnp.asarray, split_hi_lo(expand_codebook(cb)))
-    e2h, e2l = map(jnp.asarray, split_hi_lo(expand_codebook_t(cb)))
     flat = jnp.asarray(rng.standard_normal(size), jnp.float32)
-    return cb, eh, el, e2h, e2l, flat
-
-
-@pytest.mark.parametrize("dim,k,size", [(16, 256, 16 * 403), (32, 64, 32 * 77), (8, 32, 8 * 513)])
-def test_hsq2_encode_decode_match_reference_math(rng, dim, k, size):
-    from gqx.ops.pallas_hsq2 import hsq_decode_flat, hsq_encode_flat, supports_flat
-
-    assert supports_flat(dim, k)
-    cb, eh, el, e2h, e2l, flat = _flat_refs(rng, dim, k, size)
-    u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
-
-    rows = np.asarray(flat).reshape(-1, dim)
-    p = rows @ cb.T
-    want_codes = np.argmax(np.abs(p), axis=1)
-    np.testing.assert_array_equal(np.asarray(codes), want_codes)
-    want_u = np.take_along_axis(p, want_codes[:, None], axis=1)[:, 0]
-    np.testing.assert_allclose(np.asarray(u), want_u, rtol=3e-5, atol=3e-5)
-
-    dec = hsq_decode_flat(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
-    manual = cb[want_codes] * np.asarray(u)[:, None]
-    np.testing.assert_allclose(
-        np.asarray(dec).reshape(-1, dim), manual, rtol=3e-5, atol=3e-5
-    )
-
-
-def test_hsq2_decode_mean_matches_per_user(rng):
-    from gqx.ops.pallas_hsq2 import hsq_decode_mean, hsq_encode_flat
-
-    dim, k, size, users = 16, 64, 16 * 200, 4
-    cb, eh, el, e2h, e2l, _ = _flat_refs(rng, dim, k, size)
-    flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
-    u, codes = jax.vmap(
-        lambda x: hsq_encode_flat(x, eh, el, dim, tile_s=8, passes=2, interpret=True)
-    )(flats)
-    got = hsq_decode_mean(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
-    want = np.mean(
-        [cb[np.asarray(c)] * np.asarray(uu)[:, None] for c, uu in zip(codes, u)],
-        axis=0,
-    ).reshape(-1)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
-
-
-def test_hsq2_zero_rows_decode_to_zero(rng):
-    from gqx.ops.pallas_hsq2 import hsq_decode_flat, hsq_encode_flat
-
-    dim, k = 16, 64
-    cb, eh, el, e2h, e2l, flat = _flat_refs(rng, dim, k, 16 * 32)
-    flat = flat.at[: 16 * 5].set(0.0)  # first 5 subvectors all-zero
-    u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
-    assert np.all(np.asarray(u)[:5] == 0.0)
-    dec = hsq_decode_flat(codes, u, e2h, e2l, dim, tile_s=8, passes=2, interpret=True)
-    assert np.all(np.asarray(dec)[: 16 * 5] == 0.0)
+    return cb, eh, el, flat
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +73,7 @@ def test_hsq2_zero_rows_decode_to_zero(rng):
 def test_hsq3_encode_decode_match_reference_math(rng, dim, k, size):
     from gqx.ops.pallas_hsq3 import hsq_decode_flat, hsq_encode_flat
 
-    cb, eh, el, _, _, flat = _flat_refs(rng, dim, k, size)
+    cb, eh, el, flat = _flat_refs(rng, dim, k, size)
     u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
 
     rows = np.asarray(flat).reshape(-1, dim)
@@ -149,7 +97,7 @@ def test_hsq3_batched_matches_per_user(rng):
     )
 
     dim, k, size, users = 16, 64, 16 * 200, 4
-    cb, eh, el, _, _, _ = _flat_refs(rng, dim, k, size)
+    cb, eh, el, _ = _flat_refs(rng, dim, k, size)
     flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
     u_b, codes_b = hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
                                    interpret=True)
@@ -178,7 +126,7 @@ def test_hsq3_zero_rows_decode_to_zero(rng):
     from gqx.ops.pallas_hsq3 import hsq_decode_flat, hsq_encode_flat
 
     dim, k = 16, 64
-    cb, eh, el, _, _, flat = _flat_refs(rng, dim, k, 16 * 32)
+    cb, eh, el, flat = _flat_refs(rng, dim, k, 16 * 32)
     flat = flat.at[: 16 * 5].set(0.0)
     u, codes = hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2, interpret=True)
     assert np.all(np.asarray(u)[:5] == 0.0)
@@ -195,7 +143,7 @@ def test_hsq4_bit_identical_to_v3(rng, dim, k, size):
     from gqx.ops import pallas_hsq3 as v3
     from gqx.ops import pallas_hsq4 as v4
 
-    cb, eh, el, _, _, _ = _flat_refs(rng, dim, k, size)
+    cb, eh, el, _ = _flat_refs(rng, dim, k, size)
     users = 3
     flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
 
@@ -224,7 +172,7 @@ def test_hsq4_unbatched_matches_v3(rng):
     from gqx.ops import pallas_hsq4 as v4
 
     dim, k, size = 16, 64, 16 * 200
-    cb, eh, el, _, _, flat = _flat_refs(rng, dim, k, size)
+    cb, eh, el, flat = _flat_refs(rng, dim, k, size)
     u3, c3 = v3.hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2,
                                 interpret=True)
     u4, c4 = v4.hsq_encode_flat(flat, eh, el, dim, tile_s=8, passes=2,
@@ -237,7 +185,7 @@ def test_hsq4_pipelined_encode_bit_identical(rng):
     from gqx.ops import pallas_hsq4 as v4
 
     dim, k, size, users = 16, 64, 16 * 200, 4
-    cb, eh, el, _, _, _ = _flat_refs(rng, dim, k, size)
+    cb, eh, el, _ = _flat_refs(rng, dim, k, size)
     flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
     u0, c0 = v4.hsq_encode_flat(flats, eh, el, dim, tile_s=8, passes=2,
                                 interpret=True)

@@ -124,6 +124,12 @@ def run_reference(network: str, cfg: dict, data, seed: int) -> list:
             ef=cfg.get("ef", False), two_phase=cfg.get("two_phase", False),
             scale="exp", cr=256, mode=cfg.get("mode", "ps"),
         )
+        if network == "cnn":
+            # this torch-CPU build's oneDNN conv emits channels-last tensors,
+            # which breaks the reference CNN's `x.view(-1, 4*4*50)`
+            # (reference models/cnn.py:19, written for contiguous NCHW);
+            # disable mkldnn so the unmodified reference code runs
+            torch.backends.mkldnn.enabled = False
         torch.manual_seed(seed)
         model = {"fcn": lambda: FCN(num_classes=10),
                  "cnn": CNN,
@@ -246,23 +252,55 @@ def summarize(paths):
     def acc(r):
         return 100.0 * r["final_acc"]
 
+    def paired_deltas(side, net, cfgname):
+        """Per-(seed, fold) config-minus-sgd accuracy deltas (paired runs
+        cancel seed/fold variance)."""
+        rs = by_key.get((side, net, cfgname), [])
+        base = by_key.get((side, net, "sgd"), [])
+        base_map = {(r["seed"], tuple(r.get("fold") or ())): acc(r) for r in base}
+        return np.array([
+            acc(r) - base_map[(r["seed"], tuple(r.get("fold") or ()))]
+            for r in rs
+            if (r["seed"], tuple(r.get("fold") or ())) in base_map
+        ])
+
+    def mean_se(x):
+        if len(x) < 2:
+            return (x.mean() if len(x) else float("nan")), float("nan")
+        return x.mean(), x.std(ddof=1) / np.sqrt(len(x))
+
     print(f"{'side':<10} {'network':<9} {'config':<12} {'n':>3}  "
           f"{'final acc %':>14}  {'Δ vs own sgd (paired)':>22}")
     for (side, net, cfgname) in keys:
         rs = by_key[(side, net, cfgname)]
         accs = np.array([acc(r) for r in rs])
-        base = by_key.get((side, net, "sgd"), [])
-        base_map = {(r["seed"], tuple(r.get("fold") or ())): acc(r) for r in base}
-        deltas = [acc(r) - base_map[(r["seed"], tuple(r.get("fold") or ()))]
-                  for r in rs
-                  if (r["seed"], tuple(r.get("fold") or ())) in base_map]
         d = ""
-        if deltas and cfgname != "sgd":
-            deltas = np.array(deltas)
-            se = deltas.std(ddof=1) / np.sqrt(len(deltas)) if len(deltas) > 1 else float("nan")
-            d = f"{deltas.mean():+6.2f} ± {1.96 * se:.2f} (95% CI)"
+        if cfgname != "sgd":
+            deltas = paired_deltas(side, net, cfgname)
+            if len(deltas):
+                m, se = mean_se(deltas)
+                d = f"{m:+6.2f} ± {1.96 * se:.2f} (95% CI)"
         print(f"{side:<10} {net:<9} {cfgname:<12} {len(rs):>3}  "
               f"{accs.mean():8.2f} ± {accs.std(ddof=1) if len(accs) > 1 else 0:.2f}  {d:>22}")
+
+    # cross-side comparison: is gqx's delta-vs-its-own-sgd the same as the
+    # reference's? (the round-3 headline parity statistic)
+    nets_cfgs = sorted({(net, c) for (_, net, c) in keys if c != "sgd"})
+    header = False
+    for net, cfgname in nets_cfgs:
+        dg, dr = (paired_deltas(s, net, cfgname) for s in ("gqx", "reference"))
+        if not (len(dg) and len(dr)):
+            continue
+        if not header:
+            print("\ngqx Δ − reference Δ (ΔΔ; 0 within CI = parity):")
+            header = True
+        mg, seg = mean_se(dg)
+        mr, ser = mean_se(dr)
+        se = float(np.sqrt(seg ** 2 + ser ** 2))
+        dd = mg - mr
+        verdict = "PARITY" if abs(dd) <= 1.96 * se else "DEVIATION"
+        print(f"  {net:<9} {cfgname:<12} ΔΔ = {dd:+5.2f} ± {1.96 * se:.2f} pp "
+              f"(gqx {mg:+5.2f}, ref {mr:+5.2f})  -> {verdict}")
 
 
 def main():
@@ -275,7 +313,19 @@ def main():
                    help="k-fold CV over all 1797 digits (0 = legacy fixed split)")
     p.add_argument("--out", default="results/study/study.jsonl")
     p.add_argument("--summarize", nargs="*", default=None)
+    p.add_argument("--cpu-mesh", type=int, default=0,
+                   help="run gqx on a virtual CPU mesh with N devices "
+                        "(for the mesh-backend ring configs)")
     args = p.parse_args()
+
+    if args.cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.summarize is not None:
         summarize(args.summarize or [args.out])

@@ -49,6 +49,11 @@ CONFIGS = {
     "qsgd2bit": dict(quantizer="qsgd", c_dim=128, n_bit=2),
     "terngrad": dict(quantizer="terngrad"),
     "sign": dict(quantizer="sign"),
+    # CNN (LeNet) HSQ uses c_dim=8: the reference's own dim fixup
+    # (nearest_neighbor_compressor.py:23-38, dim //2*3 walk) cannot make 16
+    # divide its 25,000-element conv2 weight and asserts out — d=8 divides
+    # every >1000 CNN leaf on both sides, so the comparison is runnable.
+    "hsq8": dict(quantizer="hsq", c_dim=8, k_bit=8, n_bit=6),
     "hsq_ef": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, ef=True),
     "hsq_2ph": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, two_phase=True),
     "hsq_ring": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, mode="ring"),

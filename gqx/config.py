@@ -119,12 +119,17 @@ class GQConfig:
     codebook_dir: Optional[str] = None
     data_dir: str = "./data"
     use_pallas: Optional[bool] = None # None = auto (TPU only)
-    hsq_passes: int = 2               # bf16 matmul passes in the HSQ kernels:
+    hsq_passes: int = 1               # bf16 matmul passes in the HSQ kernels:
+                                      # 1 (default) = bf16-rounded input
+                                      # (~0.4% u perturbation, below the
+                                      # 6-bit norm-quantization step; encode
+                                      # 24.5 -> 17.6 ms); flipped default
+                                      # after a 15-seed paired convergence
+                                      # gate vs passes=2 measured dead-even
+                                      # (Δ = -0.00 ± 0.32 pp 95% CI,
+                                      # results/study/fcn_gate_p1.jsonl);
                                       # 2 = fp32-exact vs the bf16-exact
-                                      # codebook (default); 1 = bf16-rounded
-                                      # input (~0.4% u perturbation, below
-                                      # the 6-bit norm-quantization step;
-                                      # encode 21 -> 17.6 ms measured)
+                                      # codebook (strict-parity mode)
     folded_users: bool = True         # sim backend: run fwd/bwd on the
                                       # folded U*B batch with ghost-routed
                                       # per-user grads (2x faster backward,

@@ -54,6 +54,10 @@ CONFIGS = {
     # divide its 25,000-element conv2 weight and asserts out — d=8 divides
     # every >1000 CNN leaf on both sides, so the comparison is runnable.
     "hsq8": dict(quantizer="hsq", c_dim=8, k_bit=8, n_bit=6),
+    # gqx-only approximation gates (no reference counterpart — compared
+    # against gqx's own exact hsq, paired by seed):
+    #   hsq_p1: passes=1 bf16-rounded encode input (PERF.md round-3)
+    "hsq_p1": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, hsq_passes=1),
     "hsq_ef": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, ef=True),
     "hsq_2ph": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, two_phase=True),
     "hsq_ring": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, mode="ring"),

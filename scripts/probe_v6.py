@@ -69,32 +69,40 @@ def _dot_bf16(e_ref, x, passes):
         x2 = jnp.concatenate([xh, xl], axis=1)
     else:
         x2 = x.astype(jnp.bfloat16)
+    # Mosaic requires a 32-bit matmul accumulator; round to bf16 at output
+    # (one convert pass over the product domain).
     return jax.lax.dot_general(
         e_ref[:], x2, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.bfloat16,
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
-    )
+    ).astype(jnp.bfloat16)
 
 
-def _select_bf16(p, iota3_16, nblocks, k, tile_s):
-    """(B*K, tile) bf16 product -> (uj f32, idx i32), trees in bf16/i16."""
+def _select_bf16(p, iota3_bf, nblocks, k, tile_s):
+    """(B*K, tile) bf16 product -> (uj f32, idx i32), every pass bf16.
+
+    Mosaic has no int16 reductions and mixing a bf16 compare mask into an
+    i32 select forces an illegal relayout (probe findings) — but for
+    k <= 256 every index is exactly representable in bf16, so the index
+    min-tree runs in bf16 too and the whole selection stays 16-bit packed.
+    """
     p3 = p.reshape(nblocks, k, tile_s)
     pos = jnp.max(p3, axis=1)                       # bf16 tree
     neg = jnp.min(p3, axis=1)                       # bf16 tree
     uj = jnp.where(pos >= -neg, pos, neg)           # (B, tile) bf16
-    idx16 = jnp.min(
-        jnp.where(p3 == uj[:, None, :], iota3_16, jnp.int16(k)), axis=1
-    )                                               # i16 compare+tree
-    return uj.astype(jnp.float32), idx16.astype(jnp.int32)
+    idx_bf = jnp.min(
+        jnp.where(p3 == uj[:, None, :], iota3_bf, jnp.bfloat16(k)), axis=1
+    )                                               # bf16 compare + tree
+    return uj.astype(jnp.float32), idx_bf.astype(jnp.int32)
 
 
 def _enc_kernel_g(x_ref, e_ref, u_ref, codes_ref, *, nblocks, k, passes):
     users, tile_s = x_ref.shape[0], x_ref.shape[1]
-    iota3_16 = jax.lax.broadcasted_iota(
-        jnp.int16, (nblocks, k, tile_s), 1)
+    iota3_bf = jax.lax.broadcasted_iota(
+        jnp.int32, (nblocks, k, tile_s), 1).astype(jnp.bfloat16)
     for uu in range(users):
         p = _dot_bf16(e_ref, x_ref[uu], passes)
-        uj, idx = _select_bf16(p, iota3_16, nblocks, k, tile_s)
+        uj, idx = _select_bf16(p, iota3_bf, nblocks, k, tile_s)
         u_ref[uu] = uj
         codes_ref[uu] = idx
 

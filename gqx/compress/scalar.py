@@ -156,6 +156,105 @@ class ProbabilisticScalarCompressor(Compressor):
         return 2 * 32 * self.n_segments + self.n_bit * self.size
 
 
+class TransposedScalarCompressor(ProbabilisticScalarCompressor):
+    """ProbabilisticScalarCompressor over the HSQ kernels' transposed
+    (B, s_pad) signature layout, where element (blk, s) is m-order subvector
+    row ``s * B + blk`` (gqx.ops.pallas_hsq4.hsq_encode_flat transposed=True).
+
+    Produces exactly the same per-segment (lower, upper) ranges and the same
+    elementwise quantization as the m-order compressor on the same data —
+    segment boundaries are static, so each m-order segment maps to a static
+    run of full columns plus at most two partial boundary columns; nothing
+    is ever transposed (the m-order<->transposed conversion of the compact
+    signature was measured 8x off roofline, PERF.md round 3).  Only the
+    stochastic-rounding uniforms are drawn in the transposed shape, which is
+    distributional (not bitwise) parity with the m-order draw — the same
+    class of freedom as the reference's unseeded torch.rand
+    (qsgd_compressor.py:58).
+
+    ``segment_sizes`` must cover the full padded grid (sum == b * s_pad,
+    with the kernel tail pad as its own final segment) and every non-final
+    segment must span at least one full column (size >= b) so no column is
+    shared by three segments — true for every real leaf (>1000 elements,
+    so >= 63 rows at dim 16 vs b = 8).
+    """
+
+    def __init__(
+        self,
+        b: int,
+        s_pad: int,
+        n_bit: int,
+        random: bool = True,
+        segment_sizes: Optional[Tuple[int, ...]] = None,
+    ):
+        super().__init__(b * s_pad, (b, s_pad), n_bit, random, segment_sizes)
+        self.b, self.s_pad = int(b), int(s_pad)
+        segs = self.segment_sizes or (self.size,)
+        assert all(n >= self.b for n in segs[:-1]), (
+            "non-final norm segment smaller than one transposed column", segs)
+        # static slicing plan: per segment, (row0, row1, col0, col1) parts
+        plans = []
+        off = 0
+        for n in segs:
+            end = off + n
+            c0, r0 = divmod(off, self.b)
+            c1, r1 = divmod(end, self.b)
+            parts = []
+            if c0 == c1:
+                parts.append((r0, r1, c0, c0 + 1))
+            else:
+                if r0:
+                    parts.append((r0, self.b, c0, c0 + 1))
+                    c0 += 1
+                if c1 > c0:
+                    parts.append((0, self.b, c0, c1))
+                if r1:
+                    parts.append((0, r1, c1, c1 + 1))
+            plans.append(tuple(parts))
+            off = end
+        assert off == self.size
+        self._plans = tuple(plans)
+
+    def _bounds(self, vec):
+        if self.segment_sizes is None:
+            lower, upper = jnp.min(vec), jnp.max(vec)
+            return lower, upper, lower, upper
+        los, ups = [], []
+        for parts in self._plans:
+            mn = mx = None
+            for (ra, rb, ca, cb) in parts:
+                sl = vec[ra:rb, ca:cb]
+                smn, smx = jnp.min(sl), jnp.max(sl)
+                mn = smn if mn is None else jnp.minimum(mn, smn)
+                mx = smx if mx is None else jnp.maximum(mx, smx)
+            los.append(mn)
+            ups.append(mx)
+        lower, upper = jnp.stack(los), jnp.stack(ups)
+        return lower, upper, self._broadcast_segments(lower), \
+            self._broadcast_segments(upper)
+
+    def _broadcast_segments(self, per_seg):
+        b = self.b
+        iota_b = jnp.arange(b)[:, None]
+        pieces, prev = [], None
+        off = 0
+        for i, n in enumerate(self.segment_sizes):
+            cur = per_seg[i]
+            end = off + n
+            c0, r0 = divmod(off, b)
+            c1, r1 = divmod(end, b)
+            if r0:
+                # boundary column shared with the previous segment
+                pieces.append(jnp.where(iota_b < r0, prev, cur))
+                c0 += 1
+            if c1 > c0:
+                pieces.append(jnp.broadcast_to(cur, (b, c1 - c0)))
+            prev = cur
+            off = end
+        assert off % b == 0, "segments must close the padded grid"
+        return jnp.concatenate(pieces, axis=1)
+
+
 class QSGDCompressor(Compressor):
     """Bucketed stochastic scalar quantization (reference qsgd_compressor.py:42-71).
 

@@ -26,7 +26,10 @@ import numpy as np
 
 from gqx.codebooks import get_codebook, orthonormal_codebook
 from gqx.compress.api import Compressor, Sig, code_dtype, subvector_dim
-from gqx.compress.scalar import ProbabilisticScalarCompressor
+from gqx.compress.scalar import (
+    ProbabilisticScalarCompressor,
+    TransposedScalarCompressor,
+)
 
 
 def _hsq_kernels():
@@ -110,6 +113,41 @@ class HSQCompressor(Compressor):
             if self.compressed_norm
             else None
         )
+
+        # Transposed-signature fast path for the batched (stacked-users) API:
+        # encode emits and decode_mean/decompress_batch consume the kernels'
+        # native (U, B, s_pad) layout, skipping the m-order conversions that
+        # measure ~6-7 ms (encode) + ~10 ms (decode-mean) per bench step —
+        # more than the kernels themselves (PERF.md round 3, probe_dm).
+        # Requires the v4 kernels; the norm quantizer runs directly on the
+        # transposed grid with the kernel tail pad as its own segment
+        # (TransposedScalarCompressor docstring).  Wire/mesh paths still use
+        # the m-order API (2-D sigs), so this is sim-hot-path only.
+        self.sig_t = False
+        self.norm_compressor_t = None
+        if (
+            self.flat_ok
+            and os.environ.get("GQX_HSQ_SIG_T", "1") == "1"
+            and os.environ.get("GQX_HSQ_KGEN", "4") != "3"
+        ):
+            from gqx.ops.pallas_hsq3 import _geometry
+
+            b, _, s_pad = _geometry(size, self.dim, self._ENC_TILE_S)
+            pad_rows = s_pad * b - self.M
+            segs_m = tuple(norm_segment_sizes) if norm_segment_sizes \
+                else (self.M,)
+            segs_t = segs_m + ((pad_rows,) if pad_rows else ())
+            try:
+                if self.compressed_norm:
+                    self.norm_compressor_t = TransposedScalarCompressor(
+                        b, s_pad, self.n_bit, random, segment_sizes=segs_t,
+                    )
+                self.sig_t = True
+                self._tgeom = (b, s_pad)
+            except AssertionError:
+                # a non-final segment narrower than one column: keep the
+                # m-order path (correctness first)
+                self.sig_t = False
 
     # v3 kernel tile sizes, swept honest-timed on the real chip (PERF.md);
     # v3 is tile-insensitive within VMEM bounds — these are the measured best
@@ -202,16 +240,34 @@ class HSQCompressor(Compressor):
         hsq_encode_flat = _hsq_kernels().hsq_encode_flat
 
         users = vecs.shape[0]
-        u, codes = hsq_encode_flat(
-            vecs.reshape(users, -1).astype(jnp.float32), self._eh, self._el,
-            self.dim, tile_s=self._ENC_TILE_S, passes=self.passes,
-        )
+        if self.sig_t:
+            u, codes = hsq_encode_flat(
+                vecs.reshape(users, -1).astype(jnp.float32), self._eh,
+                self._el, self.dim, tile_s=self._ENC_TILE_S,
+                passes=self.passes, transposed=True,
+            )  # (U, B, s_pad) each
+            norm = self.norm_compressor_t
+        else:
+            u, codes = hsq_encode_flat(
+                vecs.reshape(users, -1).astype(jnp.float32), self._eh,
+                self._el, self.dim, tile_s=self._ENC_TILE_S,
+                passes=self.passes,
+            )
+            norm = self.norm_compressor
         sig: Sig = {"codes": codes.astype(code_dtype(self.code_bits))}
         if self.compressed_norm:
-            sig["u"] = jax.vmap(self.norm_compressor.compress)(u, keys)
+            sig["u"] = jax.vmap(norm.compress)(u, keys)
         else:
             sig["u"] = u
         return sig
+
+    def _batch_u(self, sig: Sig) -> jax.Array:
+        """Dequantized scales for a batched sig (either layout)."""
+        transposed = sig["codes"].ndim == 3
+        norm = self.norm_compressor_t if transposed else self.norm_compressor
+        if self.compressed_norm:
+            return jax.vmap(norm.decompress)(sig["u"])
+        return sig["u"]
 
     def decompress_batch(self, sig: Sig) -> jax.Array:
         if not self.flat_ok:
@@ -219,14 +275,13 @@ class HSQCompressor(Compressor):
         hsq_decode_flat = _hsq_kernels().hsq_decode_flat
 
         codes = sig["codes"].astype(jnp.int32)
-        if self.compressed_norm:
-            u = jax.vmap(self.norm_compressor.decompress)(sig["u"])
-        else:
-            u = sig["u"]
+        u = self._batch_u(sig)
         users = codes.shape[0]
+        # out_size only exists on the v4 kernels; sig_t implies v4
+        kw = {"out_size": self.size} if codes.ndim == 3 else {}
         return hsq_decode_flat(
             codes, u, self._eh, self._el, self.dim,
-            tile_s=self._DEC_TILE_S, passes=self.passes,
+            tile_s=self._DEC_TILE_S, passes=self.passes, **kw,
         ).reshape((users,) + self.shape)
 
     def decode_mean(self, sig: Sig) -> jax.Array:
@@ -238,13 +293,11 @@ class HSQCompressor(Compressor):
         hsq_decode_mean = _hsq_kernels().hsq_decode_mean
 
         codes = sig["codes"].astype(jnp.int32)
-        if self.compressed_norm:
-            u = jax.vmap(self.norm_compressor.decompress)(sig["u"])
-        else:
-            u = sig["u"]
+        u = self._batch_u(sig)
+        kw = {"out_size": self.size} if codes.ndim == 3 else {}
         return hsq_decode_mean(
             codes, u, self._eh, self._el, self.dim,
-            tile_s=self._DECMEAN_TILE_S, passes=self.passes,
+            tile_s=self._DECMEAN_TILE_S, passes=self.passes, **kw,
         ).reshape(self.shape)
 
     @property

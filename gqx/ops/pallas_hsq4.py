@@ -78,7 +78,8 @@ def _encode_kernel(x_ref, eh_ref, el_ref, u_ref, codes_ref, *, nblocks, k,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dim", "tile_s", "passes", "interpret", "pipeline"),
+    static_argnames=("dim", "tile_s", "passes", "interpret", "pipeline",
+                     "transposed"),
 )
 def hsq_encode_flat(
     flat: jax.Array,
@@ -89,8 +90,16 @@ def hsq_encode_flat(
     passes: int = 2,
     interpret: bool = False,
     pipeline: bool = False,
+    transposed: bool = False,
 ):
-    """Drop-in for pallas_hsq3.hsq_encode_flat (same layout contract)."""
+    """Drop-in for pallas_hsq3.hsq_encode_flat (same layout contract).
+
+    ``transposed=True`` returns the signature in the kernel's native
+    (U, B, s_pad) layout, skipping the m-order conversion entirely — the
+    conversion is ~6-7 ms/step on the bench unit (scripts/probe_dm.py,
+    PERF.md round 3) vs a few-hundred-us HBM roofline, because XLA's
+    (s_pad, B=8)->(B, s_pad) minor-dim transpose runs far off roofline.
+    Transposed element (blk, s) holds subvector row m = s*B + blk."""
     batched = flat.ndim == 2
     if not batched:
         flat = flat[None]
@@ -126,6 +135,9 @@ def hsq_encode_flat(
         ],
         interpret=interpret,
     )(x, eh, el)
+    if transposed:
+        assert batched, "transposed signature layout is batch-only"
+        return u_t, codes_t
     u = jnp.swapaxes(u_t, 1, 2).reshape(users, -1)[:, :m]
     codes = jnp.swapaxes(codes_t, 1, 2).reshape(users, -1)[:, :m]
     if not batched:
@@ -164,7 +176,8 @@ def _decode_mean_kernel(codes_ref, u_ref, eh_ref, el_ref, out_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dim", "tile_s", "passes", "interpret")
+    jax.jit, static_argnames=("dim", "tile_s", "passes", "interpret",
+                              "out_size")
 )
 def hsq_decode_flat(
     codes: jax.Array,
@@ -175,17 +188,32 @@ def hsq_decode_flat(
     tile_s: int = DEFAULT_TILE_S,
     passes: int = 2,
     interpret: bool = False,
+    out_size: int | None = None,
 ) -> jax.Array:
-    """Drop-in for pallas_hsq3.hsq_decode_flat."""
-    batched = codes.ndim == 2
-    if not batched:
-        codes, u = codes[None], u[None]
-    users, m = codes.shape
-    b, num_tiles, s_pad = _geometry(m * dim, dim, tile_s)
-    k = eh.shape[1] // b
-    codes_t, u_t = _sig_to_transposed(
-        codes.astype(jnp.int32), u.astype(jnp.float32), b, s_pad
-    )
+    """Drop-in for pallas_hsq3.hsq_decode_flat.
+
+    3-D codes/u = the transposed (U, B, s_pad) signature layout (see
+    hsq_encode_flat transposed=True); ``out_size`` (elements per user) is
+    then required to slice off the tail padding."""
+    if codes.ndim == 3:
+        users, b, s_pad = codes.shape
+        assert out_size is not None and s_pad % tile_s == 0
+        m = out_size // dim
+        num_tiles = s_pad // tile_s
+        k = eh.shape[1] // b
+        codes_t = codes.astype(jnp.int32)
+        u_t = u.astype(jnp.float32)
+        batched = True
+    else:
+        batched = codes.ndim == 2
+        if not batched:
+            codes, u = codes[None], u[None]
+        users, m = codes.shape
+        b, num_tiles, s_pad = _geometry(m * dim, dim, tile_s)
+        k = eh.shape[1] // b
+        codes_t, u_t = _sig_to_transposed(
+            codes.astype(jnp.int32), u.astype(jnp.float32), b, s_pad
+        )
     out_t = pl.pallas_call(
         functools.partial(_decode_kernel, nblocks=b, k=k, passes=passes),
         grid=(num_tiles,),
@@ -209,7 +237,8 @@ def hsq_decode_flat(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dim", "tile_s", "passes", "interpret")
+    jax.jit, static_argnames=("dim", "tile_s", "passes", "interpret",
+                              "out_size")
 )
 def hsq_decode_mean(
     codes: jax.Array,
@@ -220,14 +249,27 @@ def hsq_decode_mean(
     tile_s: int = DEFAULT_TILE_S,
     passes: int = 2,
     interpret: bool = False,
+    out_size: int | None = None,
 ) -> jax.Array:
-    """Drop-in for pallas_hsq3.hsq_decode_mean."""
-    users, m = codes.shape
-    b, num_tiles, s_pad = _geometry(m * dim, dim, tile_s)
-    k = eh.shape[1] // b
-    codes_t, u_t = _sig_to_transposed(
-        codes.astype(jnp.int32), u.astype(jnp.float32), b, s_pad
-    )
+    """Drop-in for pallas_hsq3.hsq_decode_mean.
+
+    3-D codes/u = transposed (U, B, s_pad) signature layout; ``out_size``
+    then slices the decoded flat gradient."""
+    if codes.ndim == 3:
+        users, b, s_pad = codes.shape
+        assert out_size is not None and s_pad % tile_s == 0
+        m = out_size // dim
+        num_tiles = s_pad // tile_s
+        k = eh.shape[1] // b
+        codes_t = codes.astype(jnp.int32)
+        u_t = u.astype(jnp.float32)
+    else:
+        users, m = codes.shape
+        b, num_tiles, s_pad = _geometry(m * dim, dim, tile_s)
+        k = eh.shape[1] // b
+        codes_t, u_t = _sig_to_transposed(
+            codes.astype(jnp.int32), u.astype(jnp.float32), b, s_pad
+        )
     out_t = pl.pallas_call(
         functools.partial(_decode_mean_kernel, nblocks=b, k=k, users=users,
                           passes=passes),

@@ -285,3 +285,44 @@ def test_hsq_passes_knob_threads_through():
 
     args = build_parser().parse_args(["--hsq-passes", "1"])
     assert config_from_args(args).hsq_passes == 1
+
+
+def test_transposed_scalar_compressor_matches_m_order(rng):
+    """TransposedScalarCompressor on the (B, s_pad) grid produces the same
+    per-segment ranges and (with random=False) the same quantized values as
+    the m-order ProbabilisticScalarCompressor on the same data."""
+    import numpy as np
+    from gqx.compress.scalar import (
+        ProbabilisticScalarCompressor,
+        TransposedScalarCompressor,
+    )
+
+    b, s_pad = 8, 40
+    segs_m = (101, 150, 63)          # three "leaves"
+    m = sum(segs_m)
+    pad = b * s_pad - m
+    segs_t = segs_m + (pad,)
+
+    vec_m = rng.standard_normal(m).astype(np.float32)
+    grid = np.zeros(b * s_pad, np.float32)
+    grid[:m] = vec_m
+    vec_t = jnp.asarray(grid.reshape(s_pad, b).T)   # (b, s_pad), m = s*b+blk
+
+    ref = ProbabilisticScalarCompressor(m, (m,), 6, random=False,
+                                        segment_sizes=segs_m)
+    tt = TransposedScalarCompressor(b, s_pad, 6, random=False,
+                                    segment_sizes=segs_t)
+
+    sig_m = ref.compress(jnp.asarray(vec_m))
+    sig_t = tt.compress(vec_t)
+    np.testing.assert_array_equal(np.asarray(sig_t["lower"])[:3],
+                                  np.asarray(sig_m["lower"]))
+    np.testing.assert_array_equal(np.asarray(sig_t["upper"])[:3],
+                                  np.asarray(sig_m["upper"]))
+
+    dec_m = np.asarray(ref.decompress(sig_m))
+    dec_t = np.asarray(tt.decompress(sig_t))       # (b, s_pad)
+    got = dec_t.T.reshape(-1)[:m]
+    np.testing.assert_array_equal(got, dec_m)
+    # pad segment decodes to exact zeros
+    np.testing.assert_array_equal(dec_t.T.reshape(-1)[m:], 0.0)

@@ -193,3 +193,41 @@ def test_hsq4_pipelined_encode_bit_identical(rng):
                                 interpret=True, pipeline=True)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u0))
+
+
+def test_hsq4_transposed_signature_roundtrip(rng):
+    """transposed=True encode output is the exact (U, B, s_pad) relayout of
+    the m-order signature, and the decode/decode_mean transposed inputs
+    reproduce the m-order results bitwise (the production sim hot path,
+    gqx/compress/vq.py sig_t)."""
+    from gqx.ops import pallas_hsq4 as v4
+    from gqx.ops.pallas_hsq3 import _geometry
+
+    dim, k, size, users, tile_s = 16, 64, 16 * 200, 3, 8
+    cb, eh, el, _ = _flat_refs(rng, dim, k, size)
+    flats = jnp.asarray(rng.standard_normal((users, size)), jnp.float32)
+    m = size // dim
+    b, _, s_pad = _geometry(size, dim, tile_s)
+
+    u0, c0 = v4.hsq_encode_flat(flats, eh, el, dim, tile_s=tile_s, passes=2,
+                                interpret=True)
+    ut, ct = v4.hsq_encode_flat(flats, eh, el, dim, tile_s=tile_s, passes=2,
+                                interpret=True, transposed=True)
+    assert ut.shape == ct.shape == (users, b, s_pad)
+    # element (blk, s) holds m-order row s*b + blk
+    got_u = np.swapaxes(np.asarray(ut), 1, 2).reshape(users, -1)[:, :m]
+    got_c = np.swapaxes(np.asarray(ct), 1, 2).reshape(users, -1)[:, :m]
+    np.testing.assert_array_equal(got_c, np.asarray(c0))
+    np.testing.assert_array_equal(got_u, np.asarray(u0))
+
+    d0 = v4.hsq_decode_flat(c0, u0, eh, el, dim, tile_s=tile_s, passes=2,
+                            interpret=True)
+    dt = v4.hsq_decode_flat(ct, ut, eh, el, dim, tile_s=tile_s, passes=2,
+                            interpret=True, out_size=size)
+    np.testing.assert_array_equal(np.asarray(dt), np.asarray(d0))
+
+    m0 = v4.hsq_decode_mean(c0, u0, eh, el, dim, tile_s=tile_s, passes=2,
+                            interpret=True)
+    mt = v4.hsq_decode_mean(ct, ut, eh, el, dim, tile_s=tile_s, passes=2,
+                            interpret=True, out_size=size)
+    np.testing.assert_array_equal(np.asarray(mt), np.asarray(m0))

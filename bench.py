@@ -291,6 +291,10 @@ def main():
             "value": round(sps, 4),
             "unit": "steps/s",
             "vs_baseline": round(vs, 3) if vs else None,
+            "vs_baseline_note": "CROSS-HARDWARE: gqx on 1 TPU v5e chip vs the "
+                                "reference (torch, no TPU path) on this host's "
+                                "2 CPUs — a framework-capability ratio, not a "
+                                "like-for-like chip comparison",
         }))
         return
 

@@ -52,12 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="float32")
     p.add_argument("--data-dir", type=str, default="./data")
     p.add_argument("--use-pallas", type=int, default=None)
-    p.add_argument("--folded-users", action="store_true", default=False,
+    p.add_argument("--folded-users", type=int, default=1, choices=[0, 1],
                    help="sim backend: folded-batch fwd/bwd with ghost-routed "
-                        "per-user grads (faster; see PERF.md)")
-    p.add_argument("--hsq-passes", type=int, default=2, choices=[1, 2, 6],
-                   help="bf16 matmul passes in the HSQ kernels (2 = "
-                        "fp32-exact default, 1 = fast bf16-rounded input)")
+                        "per-user grads (default on; gated seed-identical to "
+                        "the vmap path — see PERF.md)")
+    p.add_argument("--hsq-passes", type=int, default=1, choices=[1, 2, 6],
+                   help="bf16 matmul passes in the HSQ kernels (1 = default "
+                        "fast bf16-rounded input, gated dead-even vs 2 over "
+                        "15 paired seeds; 2 = fp32-exact strict-parity mode)")
     p.add_argument("--ring-mode", type=str, default="chain", choices=["chain", "segmented"])
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu); with cpu, "
@@ -108,7 +110,7 @@ def config_from_args(args) -> GQConfig:
         data_dir=args.data_dir,
         use_pallas=None if args.use_pallas is None else bool(args.use_pallas),
         hsq_passes=args.hsq_passes,
-        folded_users=args.folded_users,
+        folded_users=bool(args.folded_users),
         profile_dir=args.profile_dir,
         profile_steps=args.profile_steps,
     )

@@ -76,11 +76,21 @@ def train_codebook(
     seed: int = 808,
     train_size: int = DEFAULT_TRAIN_SIZE,
     iters: int = DEFAULT_ITERS,
+    dim_pad: int = 128,
 ) -> np.ndarray:
     """Train a (k, dim) angular codebook from unit-normalized Gaussian samples
-    (semantics of reference codebook_generator.py:23-31, seed included)."""
+    (semantics of reference codebook_generator.py:23-31, seed included).
+
+    Samples are zero-padded to ``dim_pad`` coordinates before Lloyd: padded
+    coordinates contribute 0 to every distance and stay exactly 0 in every
+    centroid update, so the trajectory equals the native-dim run — but one
+    ``lloyd`` compilation per K serves the whole dim family (compiles are
+    minutes each on this environment; the reference family is 65 dims).
+    """
     key = jax.random.PRNGKey(seed)
     k_sample, k_init = jax.random.split(key)
     x = unit_gaussian_samples(k_sample, train_size, dim)
-    centroids = lloyd(k_init, x, k, iters)
+    if dim < dim_pad:
+        x = jnp.pad(x, ((0, 0), (0, dim_pad - dim)))
+    centroids = lloyd(k_init, x, k, iters)[:, :dim]
     return np.asarray(jax.device_get(centroids))

@@ -189,7 +189,14 @@ class TransposedScalarCompressor(ProbabilisticScalarCompressor):
     ):
         super().__init__(b * s_pad, (b, s_pad), n_bit, random, segment_sizes)
         self.b, self.s_pad = int(b), int(s_pad)
-        segs = self.segment_sizes or (self.size,)
+        # segment_sizes is required: with no segments, a whole-grid min/max
+        # would include the kernel tail pad's zeros and clamp real ranges
+        # toward 0, diverging from the m-order compressor (ADVICE r3).  The
+        # HSQ plan always makes the pad its own final segment.
+        assert segment_sizes is not None, (
+            "TransposedScalarCompressor requires segment_sizes (the kernel "
+            "tail pad must be its own segment)")
+        segs = self.segment_sizes
         assert all(n >= self.b for n in segs[:-1]), (
             "non-final norm segment smaller than one transposed column", segs)
         # static slicing plan: per segment, (row0, row1, col0, col1) parts
@@ -216,9 +223,6 @@ class TransposedScalarCompressor(ProbabilisticScalarCompressor):
         self._plans = tuple(plans)
 
     def _bounds(self, vec):
-        if self.segment_sizes is None:
-            lower, upper = jnp.min(vec), jnp.max(vec)
-            return lower, upper, lower, upper
         los, ups = [], []
         for parts in self._plans:
             mn = mx = None

@@ -32,10 +32,20 @@ identity compressor is linear and its EF error is exactly zero).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Per-user weight-grad (dW) implementation for shared_conv's backward:
+#   'bgc'    — vmapped per-user conv vjp (XLA lowers to batch_group_count=U
+#              grouped convolutions; ~2x the folded dW cost in XLA's conv
+#              lowering, PERF.md round 3)
+#   'einsum' — kh*kw shifted-slice batched einsums (plain batched matmuls on
+#              the MXU; same math, no grouped-conv lowering)
+# Trace-time switch (module attribute; env GQX_DW_IMPL sets the default).
+DW_IMPL = os.environ.get("GQX_DW_IMPL", "bgc")
 
 
 def _conv(x, kernel, strides, padding):
@@ -43,6 +53,42 @@ def _conv(x, kernel, strides, padding):
         x, kernel, window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _per_user_dw_einsum(x, dy, k, users: int, strides, padding):
+    """Per-user conv weight gradient as kh*kw shifted-slice batched matmuls.
+
+    dW_u[kh,kw,ci,co] = sum_{b,oh,ow} xpad[u,b, oh*sh+kh, ow*sw+kw, ci]
+                                      * dy[u,b,oh,ow,co]
+    — mathematically the conv-vjp weight gradient restricted to user u's
+    micro-batch, expressed as jnp.einsum contractions over (b,oh,ow) so XLA
+    emits batched matmuls instead of batch_group_count grouped convolutions.
+    """
+    kh, kw, cin, cout = k.shape
+    sh, sw = strides
+    oh, ow = dy.shape[1], dy.shape[2]
+    pads = jax.lax.padtype_to_pads(
+        x.shape[1:3], (kh, kw), (sh, sw), padding
+    ) if isinstance(padding, str) else list(padding)
+    xpad = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    xu = xpad.reshape((users, -1) + xpad.shape[1:])
+    dyu = dy.reshape((users, -1) + dy.shape[1:])
+    terms = []
+    for i in range(kh):
+        for j in range(kw):
+            xs = jax.lax.slice(
+                xu,
+                (0, 0, i, j, 0),
+                (users, xu.shape[1], i + (oh - 1) * sh + 1,
+                 j + (ow - 1) * sw + 1, cin),
+                (1, 1, sh, sw, 1),
+            )
+            terms.append(jnp.einsum(
+                "unhwi,unhwo->uio", xs, dyu,
+                preferred_element_type=jnp.float32,
+            ))
+    dku = jnp.stack(terms).reshape(kh, kw, users, cin, cout)
+    return dku.transpose(2, 0, 1, 3, 4).astype(k.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -65,12 +111,15 @@ def _shared_conv_bwd(users, strides, padding, res, dy):
     x, k = res
     # data gradient on the folded batch (fast path: no batch groups)
     dx = jax.vjp(lambda xx: _conv(xx, k, strides, padding), x)[1](dy)[0]
-    # per-user weight gradient: one vjp per user slice (batch_group conv)
-    xu = x.reshape((users, -1) + x.shape[1:])
-    dyu = dy.reshape((users, -1) + dy.shape[1:])
-    dku = jax.vmap(
-        lambda a, b: jax.vjp(lambda kk: _conv(a, kk, strides, padding), k)[1](b)[0]
-    )(xu, dyu)
+    if DW_IMPL == "einsum":
+        dku = _per_user_dw_einsum(x, dy, k, users, strides, padding)
+    else:
+        # per-user weight gradient: one vjp per user slice (batch_group conv)
+        xu = x.reshape((users, -1) + x.shape[1:])
+        dyu = dy.reshape((users, -1) + dy.shape[1:])
+        dku = jax.vmap(
+            lambda a, b: jax.vjp(lambda kk: _conv(a, kk, strides, padding), k)[1](b)[0]
+        )(xu, dyu)
     # shared-kernel cotangent = folded total (sum over users); ghost gets the
     # per-user grads scaled by d(mean)/d(ghost_u) inverse — the ghost enters
     # through mean_u, so its true cotangent is dku_total/U per user; we

@@ -146,7 +146,8 @@ def _ring_unit(comp, g_local, e_local, scale, keys, axis, n_dev):
     return final, e_final
 
 
-def _ring_unit_segmented(comp_chunk, chunk, g_local, scale, keys, axis, n_dev):
+def _ring_unit_segmented(comp_chunk, chunk, g_local, e_local, scale, keys,
+                         axis, n_dev):
     """Bandwidth-optimal quantized ring: local (lossless) user sum, then a
     ring reduce-scatter with per-hop encode→decode of 1/D-size segments,
     then a compressed all-gather of the final segments.
@@ -154,8 +155,18 @@ def _ring_unit_segmented(comp_chunk, chunk, g_local, scale, keys, axis, n_dev):
     Per-device wire volume is ~2x the compressed unit size (vs the chain's
     D x full-size hops).  Per-hop quantization noise matches the spirit of
     reference ring_quantizer.py (noise injected at every hop); output is the
-    quantized SUM over users, like the reference's ring.  EF is not
-    supported in this mode (use ring_mode='chain').
+    quantized SUM over users, like the reference's ring.
+
+    Error feedback (round-4 design, VERDICT r3 item 4): the ring topology is
+    static, so the send at (device d, hop s) carries the running partial sum
+    of segment (d - s) % D at *every* training step.  Each device therefore
+    keeps one chunk-size error slot per send it performs — n_dev-1 RS hops
+    plus the final all-gather encode, ``e_local`` (1, n_dev, chunk) — and,
+    exactly like the reference's per-sender EF (ring_quantizer.py:33-38 /
+    ps_quantizer.py:24-25 at the reducing hop), adds ``scale * e[s]`` to the
+    pre-encode value and stores the new residual ``pre - decode(encode(pre))``
+    back into slot s.  Convergence gate: scripts/parity_study.py ringseg_ef
+    configs (results/study/fcn_ringseg_ef.jsonl).
     """
     from gqx.ops.wire import pack_signature, unpack_signature
 
@@ -166,16 +177,22 @@ def _ring_unit_segmented(comp_chunk, chunk, g_local, scale, keys, axis, n_dev):
     segs = (jnp.pad(g, (0, pad)) if pad else g).reshape(n_dev, chunk)
 
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    ef_on = e_local is not None
+    e = e_local[0] if ef_on else None  # (n_dev, chunk): one slot per send
+    e_out = []
 
-    def rt_wire(x, key):
-        """encode -> wire -> (send) -> decode; returns (wire, identity fn)."""
-        sig = comp_chunk.compress(x, key)
+    def encode(x, key, slot):
+        """EF-compensated encode; returns (wire, new error for this slot)."""
+        pre = x + scale * e[slot] if ef_on else x
+        sig = comp_chunk.compress(pre, key)
+        if ef_on:
+            e_out.append(pre - comp_chunk.decompress(sig))
         return pack_signature(comp_chunk, sig)
 
     acc = jnp.take(segs, my, axis=0)
     for s in range(n_dev - 1):
         hop_key = jax.random.fold_in(jax.random.fold_in(keys, my), s)
-        wire = rt_wire(acc, hop_key)
+        wire = encode(acc, hop_key, s)
         recv = jax.tree.map(lambda w: jax.lax.ppermute(w, axis, perm), wire)
         partial = comp_chunk.decompress(unpack_signature(comp_chunk, recv))
         recv_idx = (my - s - 1) % n_dev
@@ -184,14 +201,14 @@ def _ring_unit_segmented(comp_chunk, chunk, g_local, scale, keys, axis, n_dev):
     # device d now holds the quantized sum of segment (d+1) % n_dev;
     # compressed all-gather + reorder back to segment order
     final_key = jax.random.fold_in(jax.random.fold_in(keys, my), n_dev)
-    wire = rt_wire(acc, final_key)
+    wire = encode(acc, final_key, n_dev - 1)
     gathered = jax.tree.map(lambda w: jax.lax.all_gather(w, axis), wire)
     decoded = jax.vmap(
         lambda wd: comp_chunk.decompress(unpack_signature(comp_chunk, wd))
     )(gathered)  # (D, chunk); decoded[d] = segment (d+1) % D
     order = (jnp.arange(n_dev) - 1) % n_dev  # out_seg[j] came from device j-1
     out = jnp.take(decoded, order, axis=0).reshape(-1)[:size]
-    return out, None
+    return out, (jnp.stack(e_out)[None] if ef_on else None)
 
 
 def segment_chunk_size(unit_size: int, n_dev: int, align: int) -> int:
@@ -215,13 +232,13 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
     mesh, local_users = make_user_mesh(config.num_users, axis)
     n_dev = mesh.devices.size
     packed = config.wire == "packed"
+    from gqx.config import resolve_schedule
+
+    momentum = resolve_schedule(config)[4]
 
     segmented_ring = config.mode == "ring" and config.ring_mode == "segmented"
     chunk_comps = None
     if segmented_ring:
-        if config.ef:
-            raise ValueError("ring_mode='segmented' does not support error "
-                             "feedback; use ring_mode='chain'")
         from gqx.compress import IdenticalCompressor, make_compressor
 
         chunk_comps = []
@@ -233,6 +250,19 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
             else:
                 cc = make_compressor(config.quantizer, chunk, (chunk,), config)
             chunk_comps.append((cc, chunk))
+        if config.ef and state.agg_state.ef is not None:
+            # segmented-ring EF state: one chunk-size slot per send each
+            # device performs per step — (n_dev RS+AG sends) x chunk,
+            # globally (n_dev, n_dev, chunk) sharded device-first (see
+            # _ring_unit_segmented).  Replace the (num_users, unit) buffers
+            # from init_state unless resuming from a segmented checkpoint.
+            new_ef = []
+            for (cc, chunk), cur in zip(chunk_comps, state.agg_state.ef):
+                want = (n_dev, n_dev, chunk)
+                new_ef.append(cur if cur.shape == want
+                              else jnp.zeros(want, jnp.float32))
+            state = state._replace(agg_state=AggState(
+                ef=new_ef, server_ef=state.agg_state.server_ef))
 
     def user_grads(params, batch_stats, x, y):
         def loss_fn(p):
@@ -280,7 +310,7 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
             if segmented_ring:
                 cc, chunk = chunk_comps[ui]
                 mean, e_new = _ring_unit_segmented(
-                    cc, chunk, g, scale, keys[ui][local_users], axis, n_dev
+                    cc, chunk, g, e, scale, keys[ui][local_users], axis, n_dev
                 )
             elif config.mode == "ring":
                 mean, e_new = _ring_unit(comp, g, e, scale, user_keys, axis, n_dev)
@@ -306,9 +336,10 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
             server_ef=server_out if server_on else None,
         )
 
-        decayed = jax.tree.map(lambda g, p: g + wd * p, agg_grads, params)
-        updates, new_opt_state = tx.update(decayed, opt_state, params)
-        new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        from gqx.train import fused_sgd_update
+
+        new_params, new_opt_state = fused_sgd_update(
+            agg_grads, params, opt_state, lr, wd, momentum)
         local_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
         new_batch_stats = jax.tree.map(lambda s: jax.lax.pmean(s, axis), local_stats)
         mean_loss = jax.lax.pmean(jnp.mean(losses), axis)

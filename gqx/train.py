@@ -69,6 +69,27 @@ def cross_entropy(logits, labels):
     return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
 
 
+def fused_sgd_update(agg_grads, params, opt_state, lr, wd, momentum):
+    """One-pass SGD+momentum+wd update.
+
+    Bit-equal to ``add wd -> optax.trace -> p - lr*u`` (the exact torch
+    ``optim.SGD`` semantics, reference main.py:133-134) but emitted as a
+    single tree.map so XLA fuses the whole update into one read of
+    (g, p, t) and one write of (p', t') per leaf — the 3-pass version
+    measured 4.9 ms vs a ~1.3 ms HBM bound (PERF.md round 3).
+    """
+    def upd(g, p, t):
+        t2 = (g + wd * p) + momentum * t
+        return p - lr * t2, t2
+
+    out = jax.tree.map(upd, agg_grads, params, opt_state.trace)
+    new_params = jax.tree.map(lambda o: o[0], out,
+                              is_leaf=lambda o: isinstance(o, tuple))
+    new_trace = jax.tree.map(lambda o: o[1], out,
+                             is_leaf=lambda o: isinstance(o, tuple))
+    return new_params, opt_state._replace(trace=new_trace)
+
+
 def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
     """Build the jitted step: (state, x (U,B,H,W,C), y (U,B), scale, lr, key)
     -> (state, mean_loss).
@@ -81,6 +102,9 @@ def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
     if getattr(config, "folded_users", False) and config.backend == "sim":
         return _make_train_step_folded(config, model, plan, tx)
     aggregator = make_aggregator(config, plan)
+    from gqx.config import resolve_schedule
+
+    momentum = resolve_schedule(config)[4]
 
     def user_grads(params, batch_stats, x, y):
         def loss_fn(p):
@@ -110,9 +134,8 @@ def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
             agg_grads, agg_state = aggregator(grads, state.agg_state, scale, key)
 
         with jax.named_scope("sgd_update"):
-            decayed = jax.tree.map(lambda g, p: g + wd * p, agg_grads, state.params)
-            updates, opt_state = tx.update(decayed, state.opt_state, state.params)
-            params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+            params, opt_state = fused_sgd_update(
+                agg_grads, state.params, state.opt_state, lr, wd, momentum)
 
         # the reference's sequential per-user BN updates collapse to averaging
         # the per-user running stats (simulation detail, SURVEY.md §2.2)
@@ -142,6 +165,9 @@ def _make_train_step_folded(config, model, plan: UnitPlan, tx) -> Callable:
 
     aggregator = make_aggregator(config, plan)
     users = config.num_users
+    from gqx.config import resolve_schedule
+
+    momentum = resolve_schedule(config)[4]
 
     def _path_str(path):
         return "/".join(str(getattr(k, "key", k)) for k in path)
@@ -225,9 +251,8 @@ def _make_train_step_folded(config, model, plan: UnitPlan, tx) -> Callable:
             agg_grads, agg_state = aggregator(grads, state.agg_state, scale, key)
 
         with jax.named_scope("sgd_update"):
-            decayed = jax.tree.map(lambda g, p: g + wd * p, agg_grads, state.params)
-            updates, opt_state = tx.update(decayed, state.opt_state, state.params)
-            params = jax.tree.map(lambda p, u_: p - lr * u_, state.params, updates)
+            params, opt_state = fused_sgd_update(
+                agg_grads, state.params, state.opt_state, lr, wd, momentum)
 
         # FoldedBatchNorm already averaged the per-user stat updates
         return (

@@ -151,7 +151,7 @@ def main():
                 elif mode == "ring_seg":
                     cc, chunk = chunk_comps[ui]
                     out, _ = _ring_unit_segmented(
-                        cc, chunk, g, scale, jax.random.fold_in(key, ui),
+                        cc, chunk, g, None, scale, jax.random.fold_in(key, ui),
                         axis, n_dev)
                 outs.append(out)
             # chain everything into one scalar so timing fetches one value

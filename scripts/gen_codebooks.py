@@ -12,9 +12,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def parse_ints(spec: str):
+    out = []
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--dims", default="16,24,32,48,64,128")
+    # full reference-reachable family (reference codebook_generator.py:25-26:
+    # dims 1..65 x Ks {32,64,256,512,1024}) + the dim-128 extras
+    p.add_argument("--dims", default="1-65,128")
     p.add_argument("--ks", default="32,64,256,512,1024")
     p.add_argument("--train-size", type=int, default=1_000_000)
     p.add_argument("--cpu", action="store_true")
@@ -29,9 +42,12 @@ def main():
     from gqx.codebooks.kmeans import train_codebook
     from gqx.utils.vecs_io import fvecs_write, normalize_rows
 
+    import time
+
     os.makedirs(DEFAULT_CACHE_DIR, exist_ok=True)
-    for dim in (int(d) for d in args.dims.split(",")):
-        for k in (int(k) for k in args.ks.split(",")):
+    t0 = time.time()
+    for dim in parse_ints(args.dims):
+        for k in parse_ints(args.ks):
             path = os.path.join(DEFAULT_CACHE_DIR, codebook_filename(dim, k))
             if os.path.exists(path):
                 print("exists:", path)
@@ -39,7 +55,8 @@ def main():
             cb = train_codebook(dim, k, train_size=args.train_size)
             cb = normalize_rows(cb)[1]
             fvecs_write(path, cb)
-            print("wrote:", path, cb.shape)
+            print(f"wrote: {path} {cb.shape} [{time.time()-t0:.0f}s]",
+                  flush=True)
 
 
 if __name__ == "__main__":

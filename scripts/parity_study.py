@@ -45,7 +45,10 @@ REFERENCE = "/root/reference"
 # config name -> (quantizer kwargs, run kwargs)
 CONFIGS = {
     "sgd": dict(quantizer="sgd"),
-    "hsq": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6),
+    # strict-parity hsq configs pin hsq_passes=2 (fp32-exact encode): the
+    # GQConfig default flipped to passes=1 in round 3, and without the pin
+    # the hsq-vs-hsq_p1 gate would compare identical configs (ADVICE r3)
+    "hsq": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6, hsq_passes=2),
     "qsgd2bit": dict(quantizer="qsgd", c_dim=128, n_bit=2),
     "terngrad": dict(quantizer="terngrad"),
     "sign": dict(quantizer="sign"),
@@ -53,7 +56,7 @@ CONFIGS = {
     # (nearest_neighbor_compressor.py:23-38, dim //2*3 walk) cannot make 16
     # divide its 25,000-element conv2 weight and asserts out — d=8 divides
     # every >1000 CNN leaf on both sides, so the comparison is runnable.
-    "hsq8": dict(quantizer="hsq", c_dim=8, k_bit=8, n_bit=6),
+    "hsq8": dict(quantizer="hsq", c_dim=8, k_bit=8, n_bit=6, hsq_passes=2),
     # gqx-only approximation gates (no reference counterpart — compared
     # against gqx's own exact hsq, paired by seed):
     #   hsq_p1: passes=1 bf16-rounded encode input (PERF.md round-3)
@@ -68,6 +71,21 @@ CONFIGS = {
                         mode="ring", ring_mode="segmented", backend="mesh"),
     "sgd_ringseg": dict(quantizer="sgd", mode="ring", ring_mode="segmented",
                         backend="mesh"),
+    # round-4 segmented-ring EF gate (VERDICT r3 item 4): ring modes output
+    # a SUM over 8 users, so lr 0.1 collapses on this schedule (round-3
+    # study); the gate runs at lr 0.0125 (= 0.1/8, the mean-equivalent) so
+    # chain-EF vs segmented-EF convergence is comparable at a stable lr.
+    "hsq_ring_ef_lr8": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6,
+                            mode="ring", ef=True, lr=0.0125),
+    "hsq_ringseg_ef_lr8": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6,
+                               mode="ring", ring_mode="segmented", ef=True,
+                               backend="mesh", lr=0.0125),
+    "hsq_ringseg_lr8": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6,
+                            mode="ring", ring_mode="segmented",
+                            backend="mesh", lr=0.0125),
+    "hsq_ring_lr8": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6,
+                         mode="ring", lr=0.0125),
+    "sgd_lr8": dict(quantizer="sgd", lr=0.0125),
 }
 
 NETWORK_DATASET = {"fcn": "digits", "cnn": "digits", "resnet18": "digits32",

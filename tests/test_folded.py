@@ -44,6 +44,60 @@ def test_shared_conv_ghost_grads_match_vmap(rng):
                                rtol=1e-6)
 
 
+def test_einsum_dw_matches_bgc(rng):
+    """The 'einsum' per-user dW implementation (shifted-slice batched
+    matmuls) must equal the vmapped conv-vjp path on every conv geometry the
+    models use (1x1/3x3, stride 1/2, SAME/VALID/explicit)."""
+    from gqx.models import folded
+
+    for (h, cin, cout, kk, s, pad) in [
+        (8, 3, 16, 3, (1, 1), "SAME"),
+        (8, 16, 32, 3, (2, 2), "SAME"),
+        (8, 16, 32, 1, (1, 1), "SAME"),
+        (9, 8, 8, 1, (2, 2), "SAME"),
+        (8, 8, 8, 3, (1, 1), "VALID"),
+        (8, 8, 8, 3, (2, 2), ((1, 1), (1, 1))),
+    ]:
+        x = jnp.asarray(rng.standard_normal((U * B, h, h, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((kk, kk, cin, cout)), jnp.float32)
+        dy = jnp.asarray(
+            rng.standard_normal(folded._conv(x, k, s, pad).shape), jnp.float32)
+        xu = x.reshape((U, -1) + x.shape[1:])
+        dyu = dy.reshape((U, -1) + dy.shape[1:])
+        want = jax.vmap(
+            lambda a, b: jax.vjp(
+                lambda w: folded._conv(a, w, s, pad), k)[1](b)[0]
+        )(xu, dyu)
+        got = folded._per_user_dw_einsum(x, dy, k, U, s, pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_shared_conv_einsum_dw_end_to_end(rng, monkeypatch):
+    """shared_conv's ghost grads with DW_IMPL='einsum' == vmapped per-user."""
+    from gqx.models import folded
+
+    monkeypatch.setattr(folded, "DW_IMPL", "einsum")
+    x = jnp.asarray(rng.standard_normal((U * B, 8, 8, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 7)), jnp.float32)
+    dy_seed = jnp.asarray(rng.standard_normal((U * B, 4, 4, 7)), jnp.float32)
+
+    ghost = jnp.zeros((U,) + k.shape, jnp.float32)
+    got = jax.grad(
+        lambda g: jnp.sum(shared_conv(x, k, g, U, (2, 2), "SAME") * dy_seed)
+    )(ghost)
+
+    def conv(xx, kk):
+        return jax.lax.conv_general_dilated(
+            xx, kk, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    want = jax.vmap(
+        lambda xu, du: jax.grad(lambda w: jnp.sum(conv(xu, w) * du))(k)
+    )(x.reshape(U, B, 8, 8, 5), dy_seed.reshape(U, B, 4, 4, 7))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_shared_dense_ghost_grads_match_vmap(rng):
     x = jnp.asarray(rng.standard_normal((U * B, 6)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((6, 4)), jnp.float32)

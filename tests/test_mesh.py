@@ -106,10 +106,37 @@ def test_segmented_ring_qsgd_close_to_sum():
     np.testing.assert_allclose(losses, losses_chain, rtol=0.05)
 
 
-def test_segmented_ring_rejects_ef():
-    cfg = base_cfg(mode="ring", backend="mesh", ring_mode="segmented", ef=True)
-    with pytest.raises(ValueError):
-        run_steps(cfg, n_steps=1)
+def test_segmented_ring_ef():
+    """Segmented-ring EF (per-(device, hop) error slots): at step 1 the
+    error state is zero, so EF-on == EF-off exactly; afterwards the EF
+    state holds each send's quantization residual (nonzero for a lossy
+    compressor) and training stays finite."""
+    cfg_off = base_cfg(mode="ring", backend="mesh", ring_mode="segmented",
+                       n_bit=4)
+    cfg_on = dataclasses.replace(cfg_off, ef=True)
+    s_off, l_off = run_steps(cfg_off, n_steps=1)
+    s_on, l_on = run_steps(cfg_on, n_steps=1)
+    np.testing.assert_allclose(l_off, l_on, rtol=1e-6)
+    assert_trees_close(s_off.params, s_on.params)
+
+    s_on2, l_on2 = run_steps(cfg_on, n_steps=3)
+    assert all(np.isfinite(l_on2))
+    # EF buffers have the segmented shape (D, D, chunk) and nonzero content
+    # for the quantized unit(s)
+    assert any(
+        e.ndim == 3 and float(np.abs(np.asarray(e)).max()) > 0
+        for e in s_on2.agg_state.ef
+    )
+
+
+def test_segmented_ring_ef_identity_error_is_zero():
+    """With the identity compressor every send is lossless, so the EF state
+    must stay exactly zero."""
+    cfg = base_cfg(mode="ring", quantizer="sgd", backend="mesh",
+                   ring_mode="segmented", ef=True)
+    state, _ = run_steps(cfg, n_steps=2)
+    for e in state.agg_state.ef:
+        assert float(np.abs(np.asarray(e)).max()) == 0.0
 
 
 def test_mesh_stochastic_runs_finite():

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 matmul passes in the HSQ kernels (1 = default "
                         "fast bf16-rounded input, gated dead-even vs 2 over "
                         "15 paired seeds; 2 = fp32-exact strict-parity mode)")
+    p.add_argument("--unit-dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="packed compression-unit dtype (auto: bf16 for HSQ "
+                        "passes=1 without EF under bf16 compute — same "
+                        "rounding the kernel applies, half the HBM traffic)")
     p.add_argument("--ring-mode", type=str, default="chain", choices=["chain", "segmented"])
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu); with cpu, "
@@ -104,6 +109,7 @@ def config_from_args(args) -> GQConfig:
         save_model=args.save_model,
         two_phase=args.two_phase,
         ring_mode=args.ring_mode,
+        unit_dtype=args.unit_dtype,
         backend=args.backend,
         wire=args.wire,
         compute_dtype=args.compute_dtype,

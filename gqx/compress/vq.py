@@ -158,6 +158,15 @@ class HSQCompressor(Compressor):
     # -- encode -------------------------------------------------------------
     _XLA_CHUNK_ROWS = 1 << 16  # caps the (chunk, K) product matrix in HBM
 
+    def _enc_input(self, vecs):
+        """Encode-input dtype policy: passes>=2 needs fp32 (hi/lo split);
+        passes==1 bf16-rounds the input inside the kernel, so a bf16 input
+        (bf16 packed units, PERF.md round 4) is accepted as-is — the SAME
+        values with half the DMA traffic."""
+        if self.passes == 1 and vecs.dtype == jnp.bfloat16:
+            return vecs
+        return vecs.astype(jnp.float32)
+
     def _encode_chunk(self, rows: jax.Array):
         # HIGHEST precision: on TPU the default bf16 matmul can flip near-tie
         # argmax code choices; the encode matmul is bandwidth-bound anyway.
@@ -189,7 +198,7 @@ class HSQCompressor(Compressor):
             hsq_encode_flat = _hsq_kernels().hsq_encode_flat
 
             u, codes = hsq_encode_flat(
-                vec.reshape(-1).astype(jnp.float32), self._eh, self._el,
+                self._enc_input(vec.reshape(-1)), self._eh, self._el,
                 self.dim, tile_s=self._ENC_TILE_S, passes=self.passes,
             )
         elif self.use_pallas:
@@ -199,6 +208,8 @@ class HSQCompressor(Compressor):
                 vec.reshape(-1, self.dim).astype(jnp.float32), self.codewords
             )
         else:
+            # pure-XLA fallback: a bf16 input is upcast, reproducing the
+            # kernel passes=1 semantics (bf16-rounded values, fp32 products)
             u, codes = self._encode_xla(
                 vec.reshape(-1, self.dim).astype(jnp.float32)
             )
@@ -242,14 +253,14 @@ class HSQCompressor(Compressor):
         users = vecs.shape[0]
         if self.sig_t:
             u, codes = hsq_encode_flat(
-                vecs.reshape(users, -1).astype(jnp.float32), self._eh,
+                self._enc_input(vecs.reshape(users, -1)), self._eh,
                 self._el, self.dim, tile_s=self._ENC_TILE_S,
                 passes=self.passes, transposed=True,
             )  # (U, B, s_pad) each
             norm = self.norm_compressor_t
         else:
             u, codes = hsq_encode_flat(
-                vecs.reshape(users, -1).astype(jnp.float32), self._eh,
+                self._enc_input(vecs.reshape(users, -1)), self._eh,
                 self._el, self.dim, tile_s=self._ENC_TILE_S,
                 passes=self.passes,
             )

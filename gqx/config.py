@@ -130,6 +130,16 @@ class GQConfig:
                                       # results/study/fcn_gate_p1.jsonl);
                                       # 2 = fp32-exact vs the bf16-exact
                                       # codebook (strict-parity mode)
+    unit_dtype: str = "auto"          # dtype of packed compression units:
+                                      # 'auto' = bfloat16 for HSQ units when
+                                      # hsq_passes==1, EF off and compute is
+                                      # bfloat16 (the passes=1 kernel bf16-
+                                      # rounds its input anyway, so carrying
+                                      # the units to it in bf16 is the SAME
+                                      # rounding with half the pack/encode
+                                      # HBM traffic — PERF.md round 4);
+                                      # else float32.  'float32'/'bfloat16'
+                                      # force.
     folded_users: bool = True         # sim backend: run fwd/bwd on the
                                       # folded U*B batch with ghost-routed
                                       # per-user grads (2x faster backward,

@@ -39,13 +39,19 @@ import jax
 import jax.numpy as jnp
 
 # Per-user weight-grad (dW) implementation for shared_conv's backward:
+#   'hybrid' — (default) einsum for 1x1 stride-1 convs, bgc otherwise.
+#              Probe-driven (scripts/probe_dw2.py, v5e): the batch_group
+#              penalty concentrates in wide-channel 1x1 convs (512x2048@4x4:
+#              5.9 ms bgc vs 1.5 ms einsum) where the dW is a plain batched
+#              matmul; 3x3 bgc convs already run at the folded floor.
 #   'bgc'    — vmapped per-user conv vjp (XLA lowers to batch_group_count=U
-#              grouped convolutions; ~2x the folded dW cost in XLA's conv
-#              lowering, PERF.md round 3)
-#   'einsum' — kh*kw shifted-slice batched einsums (plain batched matmuls on
-#              the MXU; same math, no grouped-conv lowering)
+#              grouped convolutions)
+#   'einsum' — kh*kw shifted-slice batched einsums everywhere.  Loses
+#              globally (44.8 vs 38.9 ms whole-model, probe_dw.py) and
+#              CRASHES XLA's fusion pass on small-spatial 3x3 geometries
+#              (TransformWindow SIGABRT) — debugging/probe use only.
 # Trace-time switch (module attribute; env GQX_DW_IMPL sets the default).
-DW_IMPL = os.environ.get("GQX_DW_IMPL", "bgc")
+DW_IMPL = os.environ.get("GQX_DW_IMPL", "hybrid")
 
 
 def _conv(x, kernel, strides, padding):
@@ -111,7 +117,12 @@ def _shared_conv_bwd(users, strides, padding, res, dy):
     x, k = res
     # data gradient on the folded batch (fast path: no batch groups)
     dx = jax.vjp(lambda xx: _conv(xx, k, strides, padding), x)[1](dy)[0]
-    if DW_IMPL == "einsum":
+    use_einsum = DW_IMPL == "einsum" or (
+        DW_IMPL == "hybrid"
+        and k.shape[0] == k.shape[1] == 1
+        and tuple(strides) == (1, 1)
+    )
+    if use_einsum:
         dku = _per_user_dw_einsum(x, dy, k, users, strides, padding)
     else:
         # per-user weight gradient: one vjp per user slice (batch_group conv)

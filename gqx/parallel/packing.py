@@ -28,7 +28,7 @@ the parity tests); for sign/qsgd/hsq the grouped math is proven equivalent
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,11 +123,16 @@ class UnitPlan:
     ``layout='natural'`` flattens flax-order directly."""
 
     def __init__(self, treedef, leaf_shapes: Sequence[Tuple[int, ...]], units: List[Unit],
-                 layout: str = "torch"):
+                 layout: str = "torch", unit_dtypes: Optional[Sequence] = None):
         self.treedef = treedef
         self.leaf_shapes = list(leaf_shapes)
         self.units = units
         self.layout = layout
+        # per-unit pack dtype (None = keep the leaves' dtype).  bfloat16 for
+        # HSQ passes=1 units halves the pack-write + encode-read HBM traffic
+        # and is the SAME rounding the kernel applies internally (PERF.md r4)
+        self.unit_dtypes = (list(unit_dtypes) if unit_dtypes is not None
+                            else [None] * len(units))
         if layout == "torch":
             self.perms = [torch_axis_order(s) for s in self.leaf_shapes]
         elif layout == "outfirst":
@@ -144,12 +149,14 @@ class UnitPlan:
         """tree leaves: (*lead, *leaf_shape) -> per-unit (*lead, unit_size)."""
         leaves = self.treedef.flatten_up_to(tree)
         out = []
-        for u in self.units:
+        for u, dt in zip(self.units, self.unit_dtypes):
             flats = []
             for i, size in zip(u.leaf_indices, u.sizes):
                 nlead = leaves[i].ndim - len(self.leaf_shapes[i])
                 lead = leaves[i].shape[:nlead]
                 x = leaves[i]
+                if dt is not None:
+                    x = x.astype(dt)  # cast BEFORE the transpose: halves it
                 perm = self.perms[i]
                 if perm != tuple(range(len(perm))):
                     x = jnp.transpose(
@@ -293,8 +300,30 @@ def plan_units(params: PyTree, config) -> UnitPlan:
                  IdenticalCompressor(total, (total,)))
         )
 
+    # per-unit pack dtype: bf16 for HSQ units when the passes=1 kernel would
+    # bf16-round the input anyway (identical rounding, half the HBM traffic);
+    # identity/passthrough units always stay in the leaves' dtype (their
+    # roundtrip feeds the fp32 optimizer update directly)
+    ud = getattr(config, "unit_dtype", "auto")
+    bf16_units = (
+        ud == "bfloat16"
+        or (
+            ud == "auto"
+            and name == "hsq"
+            and int(getattr(config, "hsq_passes", 2)) == 1
+            and not getattr(config, "ef", False)
+            and getattr(config, "compute_dtype", "float32") == "bfloat16"
+        )
+    )
+    unit_dtypes = [
+        (jnp.bfloat16
+         if bf16_units and not isinstance(u.compressor, IdenticalCompressor)
+         else None)
+        for u in units
+    ]
     return UnitPlan(treedef, shapes, units,
-                    layout=getattr(config, "quant_layout", "torch"))
+                    layout=getattr(config, "quant_layout", "torch"),
+                    unit_dtypes=unit_dtypes)
 
 
 def plan_from_leaf_compressors(params: PyTree, compressors: PyTree,

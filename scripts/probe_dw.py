@@ -70,7 +70,9 @@ def main():
     dt, _ = timeit(f_bound, params)
     print(f"bound (single dW):      {dt*1e3:7.2f} ms")
 
-    for impl in ("bgc", "einsum"):
+    impls = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ("bgc", "hybrid"))
+    for impl in impls:
         folded.DW_IMPL = impl
         f = jax.jit(jax.grad(loss_fold, argnums=(0, 1)))
         dt, _ = timeit(f, ghosts0, params)

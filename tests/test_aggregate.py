@@ -282,3 +282,40 @@ def test_grouped_vs_leafwise_topk_maurey_equivalence(rng):
             np.testing.assert_array_equal(
                 np.asarray(agg_by_mode["auto"][k]), np.asarray(agg_by_mode["none"][k])
             ), name
+
+
+def test_bf16_units_equal_bf16_rounded_f32_pipeline(rng):
+    """unit_dtype='auto' with hsq_passes=1 + bf16 compute packs the
+    compressed units in bfloat16 (half the pack/encode HBM traffic).  The
+    passes=1 encode bf16-rounds its input anyway, so the compressed-unit
+    aggregation must be BIT-IDENTICAL to feeding pre-bf16-rounded f32
+    gradients through f32 units; passthrough (identity) units must stay f32
+    (their roundtrip feeds the optimizer directly)."""
+    import dataclasses
+
+    cfg = GQConfig(quantizer="hsq", c_dim=16, k_bit=6, n_bit=6, num_users=U,
+                   dataset="synthetic", hsq_passes=1,
+                   compute_dtype="bfloat16", random=False)
+    params = {"w1": jnp.zeros((64, 64)), "w2": jnp.zeros((128, 32)),
+              "b": jnp.zeros((64,))}
+    plan_bf = plan_units(params, cfg)
+    plan_32 = plan_units(params, dataclasses.replace(cfg, unit_dtype="float32"))
+    assert any(d is not None for d in plan_bf.unit_dtypes)
+    assert all(d is None for d in plan_32.unit_dtypes)
+    # EF forces f32 units under 'auto' (error residuals need fp32)
+    plan_ef = plan_units(params, dataclasses.replace(cfg, ef=True))
+    assert all(d is None for d in plan_ef.unit_dtypes)
+
+    grads = make_grads(rng, {k: v.shape for k, v in params.items()})
+    rounded = jax.tree.map(
+        lambda g: g.astype(jnp.bfloat16).astype(jnp.float32), grads)
+    st = init_state(plan_bf, U, ef=False, two_phase=False)
+    key = jax.random.PRNGKey(3)
+    agg_bf, _ = ps_aggregate(plan_bf, grads, st, jnp.float32(1.0), key)
+    agg_32, _ = ps_aggregate(plan_32, rounded, st, jnp.float32(1.0), key)
+    for k in ("w1", "w2"):  # compressed leaves: bit-identical
+        np.testing.assert_array_equal(np.asarray(agg_bf[k]),
+                                      np.asarray(agg_32[k]))
+    # passthrough leaf: bf16 plan must have used the RAW f32 values
+    np.testing.assert_array_equal(np.asarray(agg_bf["b"]),
+                                  np.asarray(jnp.mean(grads["b"], axis=0)))

@@ -151,9 +151,9 @@ class HSQCompressor(Compressor):
 
     # v3 kernel tile sizes, swept honest-timed on the real chip (PERF.md);
     # v3 is tile-insensitive within VMEM bounds — these are the measured best
-    _ENC_TILE_S = 256
+    _ENC_TILE_S = 512      # r4 bf16-input sweep: 8.84 @512 vs 9.17 @256
     _DEC_TILE_S = 128
-    _DECMEAN_TILE_S = 256  # transposed-path sweep: 7.25 vs 7.69 ms @128
+    _DECMEAN_TILE_S = 512  # r4 sweep: 3.66 @512 vs 3.90 @256 (was 256)
 
     # -- encode -------------------------------------------------------------
     _XLA_CHUNK_ROWS = 1 << 16  # caps the (chunk, K) product matrix in HBM

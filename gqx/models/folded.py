@@ -39,19 +39,19 @@ import jax
 import jax.numpy as jnp
 
 # Per-user weight-grad (dW) implementation for shared_conv's backward:
-#   'hybrid' — (default) einsum for 1x1 stride-1 convs, bgc otherwise.
-#              Probe-driven (scripts/probe_dw2.py, v5e): the batch_group
-#              penalty concentrates in wide-channel 1x1 convs (512x2048@4x4:
-#              5.9 ms bgc vs 1.5 ms einsum) where the dW is a plain batched
-#              matmul; 3x3 bgc convs already run at the folded floor.
-#   'bgc'    — vmapped per-user conv vjp (XLA lowers to batch_group_count=U
-#              grouped convolutions)
+#   'bgc'    — (default) vmapped per-user conv vjp (XLA lowers to
+#              batch_group_count=U grouped convolutions).  Full-step A/B
+#              with retuned tiles: bgc 51.6 ms vs hybrid 52.0 (PERF.md r4).
+#   'hybrid' — einsum for 1x1 stride-1 convs, bgc otherwise.  Probe-driven
+#              (scripts/probe_dw2.py, v5e): isolated wide-channel 1x1 bgc
+#              outliers (512x2048@4x4: 5.9 ms bgc vs 1.5 ms einsum) — but
+#              the advantage vanishes inside the fused whole-model backward.
 #   'einsum' — kh*kw shifted-slice batched einsums everywhere.  Loses
 #              globally (44.8 vs 38.9 ms whole-model, probe_dw.py) and
 #              CRASHES XLA's fusion pass on small-spatial 3x3 geometries
 #              (TransformWindow SIGABRT) — debugging/probe use only.
 # Trace-time switch (module attribute; env GQX_DW_IMPL sets the default).
-DW_IMPL = os.environ.get("GQX_DW_IMPL", "hybrid")
+DW_IMPL = os.environ.get("GQX_DW_IMPL", "bgc")
 
 
 def _conv(x, kernel, strides, padding):

@@ -24,6 +24,40 @@ def fvecs_read(path) -> np.ndarray:
     return ivecs_read(path).view(np.float32)
 
 
+def bvecs_read(path) -> np.ndarray:
+    """uint8-payload variant: 4-byte dim header + ``dim`` bytes per row
+    (behavioral spec: reference utils/vecs_io.py:5-8)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    dim = int(raw[:4].view(np.int32)[0])
+    return np.ascontiguousarray(raw.reshape(-1, dim + 4)[:, 4:])
+
+
+def ivecs_read_mmap(path) -> np.ndarray:
+    """Zero-copy mmap view of an ivecs file: (n, dim) int32 slice of a
+    ``np.memmap`` — rows materialize lazily on access, so a 99 MB codebook
+    corpus can be opened whole without touching the pages (behavioral spec:
+    reference utils/vecs_io.py:17-30).  The returned array is read-only."""
+    raw = np.memmap(path, dtype=np.int32, mode="r")
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.int32)
+    dim = int(raw[0])
+    return raw.reshape(-1, dim + 1)[:, 1:]
+
+
+def fvecs_read_mmap(path) -> np.ndarray:
+    return ivecs_read_mmap(path).view(np.float32)
+
+
+def bvecs_read_mmap(path) -> np.ndarray:
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    dim = int(raw[:4].view(np.int32)[0])
+    return raw.reshape(-1, dim + 4)[:, 4:]
+
+
 def fvecs_write(path, vecs: np.ndarray) -> None:
     vecs = np.ascontiguousarray(np.asarray(vecs, dtype=np.float32))
     n, dim = vecs.shape

@@ -40,7 +40,10 @@ def main():
 
     from gqx.codebooks import DEFAULT_CACHE_DIR, codebook_filename
     from gqx.codebooks.kmeans import train_codebook
+    from gqx.utils.jax_cache import enable_compilation_cache
     from gqx.utils.vecs_io import fvecs_write, normalize_rows
+
+    enable_compilation_cache()
 
     import time
 

@@ -53,22 +53,25 @@ def _select(p, iota3, nblocks, k, tile_s):
 
 def _encode_kernel(x_ref, eh_ref, el_ref, u_ref, codes_ref, *, nblocks, k,
                    passes, pipeline=False):
-    users = x_ref.shape[0]
-    tile_s = x_ref.shape[1]
+    # x_ref block is (tile_s, users, LANES) — the users-interleaved view of
+    # the packed 2D unit (see hsq_encode_flat): slicing user uu is a strided
+    # VMEM read, and the HBM-side reshape becomes a tile-aware bitcast.
+    users = x_ref.shape[1]
+    tile_s = x_ref.shape[0]
     iota3 = jax.lax.broadcasted_iota(jnp.int32, (nblocks, k, tile_s), 1)
     if not pipeline:
         for uu in range(users):
-            p = _dot_t(eh_ref, el_ref, x_ref[uu], passes)  # (B*K, tile)
+            p = _dot_t(eh_ref, el_ref, x_ref[:, uu, :], passes)  # (B*K, tile)
             uj, idx = _select(p, iota3, nblocks, k, tile_s)
             u_ref[uu] = uj
             codes_ref[uu] = idx
         return
     # software pipeline: issue user uu+1's MXU contraction before user uu's
     # VPU selection so the two units can overlap (probe; scripts/ab_kgen.py)
-    p = _dot_t(eh_ref, el_ref, x_ref[0], passes)
+    p = _dot_t(eh_ref, el_ref, x_ref[:, 0, :], passes)
     for uu in range(users):
         p_cur, p = p, (
-            _dot_t(eh_ref, el_ref, x_ref[uu + 1], passes)
+            _dot_t(eh_ref, el_ref, x_ref[:, uu + 1, :], passes)
             if uu + 1 < users else None
         )
         uj, idx = _select(p_cur, iota3, nblocks, k, tile_s)
@@ -109,14 +112,20 @@ def hsq_encode_flat(
     k = eh.shape[1] // b
     if s_pad * LANES != size:
         flat = jnp.pad(flat, ((0, 0), (0, s_pad * LANES - size)))
-    x = flat.reshape(users, s_pad, LANES)
+    # (s_pad, users, LANES): for a (users, size) array in the TPU's T(8,128)
+    # tiled layout the 8 users of each 128-lane group already sit in one
+    # tile, so THIS transpose is a tile-aware bitcast (free) while the
+    # per-user-planar (users, s_pad, LANES) reshape was a real re-layout
+    # copy of the whole unit (753 MB -> 1.13 ms/step on the bench config,
+    # trace fusion `copy_bitcast_fusion`, PERF.md round 4).
+    x = jnp.transpose(flat.reshape(users, s_pad, LANES), (1, 0, 2))
 
     u_t, codes_t = pl.pallas_call(
         functools.partial(_encode_kernel, nblocks=b, k=k, passes=passes,
                           pipeline=pipeline),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((users, tile_s, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((tile_s, users, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, b * k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -1,0 +1,78 @@
+"""On-chip uniform PRNG for stochastic rounding (TPU Pallas).
+
+The stochastic-rounding draw ``U(0,1)`` (reference qsgd_compressor.py:55-61,
+probabilistic_scalar_compressor.py:20-26) is the only PRNG consumer on the
+hot path.  ``jax.random.uniform`` lowers to a threefry2x32 elementwise pass
+— measured 1.38 ms/step of device time on the bench config (PERF.md round
+4) just to produce ~12M uniforms that are consumed once by a fused
+compare.  This kernel generates the uniforms with the TPU's native PRNG
+(`pltpu.prng_random_bits`) seeded from the caller's JAX key, which is
+~10x cheaper: one seed + one vectorized bits->float convert per block,
+no counter-mode hashing.
+
+Determinism: the stream is a pure function of (key, block index), so a
+fixed key still reproduces a training run bit-for-bit on TPU.  The values
+differ from the threefry stream, which is *distributional* (not bitwise)
+parity — the same class of freedom as the reference's unseeded
+``torch.rand`` (its runs are not reproducible at all); the CPU/XLA path
+keeps threefry so CPU tests and the sim-vs-mesh parity suite are
+unaffected.  Kill switch: ``GQX_PALLAS_RAND=0``.
+
+Bits->float: ``(bits >> 8) * 2^-24`` — the top 24 bits as a uniform on
+[0, 1) with full float32 resolution in the comparison range.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BR, _BC = 512, 128  # 64K elements per grid block
+
+
+def _uniform_kernel(key_ref, out_ref):
+    # Mosaic accepts at most 2 seed scalars: mix the block index into the
+    # second word (golden-ratio multiply, int32 wraparound) so every grid
+    # block draws an independent stream.
+    mixed = key_ref[1] + pl.program_id(0) * jnp.int32(-1640531527)
+    pltpu.prng_seed(key_ref[0], mixed)
+    bits = pltpu.prng_random_bits(out_ref.shape)
+    # bits -> [0,1): take the top 24 bits (float32 mantissa width).  Mosaic
+    # has no uint32->f32 cast, so shift in int32 (logical, so the result is
+    # a non-negative 24-bit value) and convert from int32.
+    i32 = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    top = jax.lax.shift_right_logical(i32, jnp.int32(8))
+    out_ref[...] = top.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+def pallas_uniform(key, shape, interpret: bool = False) -> jax.Array:
+    """Uniform [0,1) float32 of ``shape``, from the TPU-native PRNG seeded
+    by the JAX ``key`` (any typed key or raw (2,) uint32 key data)."""
+    kd = jax.random.key_data(key) if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
+    kd = kd.reshape(-1)[:2].astype(jnp.int32)
+    n = math.prod(shape)
+    per = _BR * _BC
+    tiles = max(1, -(-n // per))
+    out = pl.pallas_call(
+        _uniform_kernel,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((_BR, _BC), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((tiles * _BR, _BC), jnp.float32),
+        interpret=interpret,
+    )(kd)
+    return out.reshape(-1)[:n].reshape(shape)
+
+
+def use_pallas_rand() -> bool:
+    return (
+        os.environ.get("GQX_PALLAS_RAND", "1") != "0"
+        and jax.default_backend() == "tpu"
+    )

@@ -51,12 +51,7 @@ def _uniform_kernel(key_ref, out_ref):
     out_ref[...] = top.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def pallas_uniform(key, shape, interpret: bool = False) -> jax.Array:
-    """Uniform [0,1) float32 of ``shape``, from the TPU-native PRNG seeded
-    by the JAX ``key`` (any typed key or raw (2,) uint32 key data)."""
-    kd = jax.random.key_data(key) if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
-    kd = kd.reshape(-1)[:2].astype(jnp.int32)
+def _raw_uniform(kd, shape) -> jax.Array:
     n = math.prod(shape)
     per = _BR * _BC
     tiles = max(1, -(-n // per))
@@ -66,9 +61,39 @@ def pallas_uniform(key, shape, interpret: bool = False) -> jax.Array:
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((_BR, _BC), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((tiles * _BR, _BC), jnp.float32),
-        interpret=interpret,
     )(kd)
     return out.reshape(-1)[:n].reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _uniform_fn(shape):
+    """Per-shape uniform sampler with a custom vmap rule: a vmapped draw
+    (e.g. per-user keys inside ``jax.vmap(norm.compress)``) collapses to ONE
+    kernel call of shape (batch, *shape) seeded by the first mapped key —
+    distinct positions in one stream are i.i.d., so per-user independence is
+    preserved, and the draw stays a deterministic function of the parent
+    key.  (jax.vmap of the raw pallas_call would try to block the SMEM key
+    operand per batch element, which Mosaic rejects.)"""
+
+    @jax.custom_batching.custom_vmap
+    def f(kd):
+        return _raw_uniform(kd, shape)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, kd):  # noqa: ANN001
+        (kb,) = in_batched
+        out = _raw_uniform(kd[0] if kb else kd, (axis_size,) + shape)
+        return out, True
+
+    return f
+
+
+def pallas_uniform(key, shape) -> jax.Array:
+    """Uniform [0,1) float32 of ``shape``, from the TPU-native PRNG seeded
+    by the JAX ``key`` (any typed key or raw (2,) uint32 key data)."""
+    kd = jax.random.key_data(key) if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
+    kd = kd.reshape(-1)[:2].astype(jnp.int32)
+    return _uniform_fn(tuple(shape))(kd)
 
 
 def use_pallas_rand() -> bool:

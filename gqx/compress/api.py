@@ -113,20 +113,25 @@ def flatten_rows(vec: jax.Array, dim: int) -> jax.Array:
 
 
 def stochastic_increment(
-    scaled: jax.Array, floored: jax.Array, key: jax.Array
+    scaled: jax.Array, floored: jax.Array, key: jax.Array,
+    pallas_ok: bool = False,
 ) -> jax.Array:
     """l += (scaled - l > U(0,1)) — the reference's stochastic rounding
     (reference qsgd_compressor.py:55-61).  Returns int32 increments.
 
-    On TPU the uniforms come from the on-chip Pallas PRNG
-    (gqx.ops.pallas_rand) instead of a threefry pass — distributional
-    parity, ~1.2 ms/step cheaper on the bench config; CPU/XLA keeps
-    threefry (bitwise-stable for the sim-vs-mesh parity suite)."""
+    With ``pallas_ok`` (the VQ-family norm quantizer sets it) the TPU
+    uniforms come from the on-chip Pallas PRNG (gqx.ops.pallas_rand)
+    instead of a threefry pass — distributional parity, 1.38 -> 0.04
+    ms/step on the bench config (PERF.md round 4).  QSGD/TernGrad keep
+    threefry even on TPU: their full-gradient-sized draw is fused inline
+    into the quantize loop by XLA, so a separate kernel + materialized
+    uniforms LOSES there (qsgd measured 19.4 -> 18.2 steps/s).  CPU/XLA
+    always keeps threefry (bitwise-stable for the sim-vs-mesh suite)."""
     probabilities = scaled - floored.astype(scaled.dtype)
     n = 1
     for d in floored.shape:
         n *= int(d)
-    if scaled.dtype == jnp.float32 and n >= 65536:
+    if pallas_ok and scaled.dtype == jnp.float32 and n >= 65536:
         from gqx.ops.pallas_rand import pallas_uniform, use_pallas_rand
 
         if use_pallas_rand():

@@ -134,7 +134,9 @@ class ProbabilisticScalarCompressor(Compressor):
         l = jnp.clip(scaled, 0, self.s - 1).astype(jnp.int32)
         if self.random:
             assert key is not None
-            l = l + stochastic_increment(scaled, l, key)
+            # norm-quantizer draw: on-chip PRNG pays off here (M = size/dim
+            # values, consumed once; see stochastic_increment docstring)
+            l = l + stochastic_increment(scaled, l, key, pallas_ok=True)
         return {"lower": lower, "upper": upper, "l": l}
 
     def _broadcast_segments(self, per_seg):

@@ -117,11 +117,10 @@ def _rotation_split(perm: Tuple[int, ...]) -> Optional[int]:
     """If ``perm`` is a rotation — permuted order = orig[r:] + orig[:r] —
     return r, else None.  Every outfirst-layout perm is one (conv
     (kh,kw,cin,cout)->(cout,kh,kw,cin) is r=3, dense (in,out)->(out,in) is
-    r=1), which makes the inverse permutation a plain 2D transpose of the
-    collapsed (prod(B), prod(A)) matrix — XLA lowers that far better than
-    the equivalent 4D transpose of conv-shaped tensors (the 4D form
-    materializes whole-unit lane-padded intermediates for C<128 leaves,
-    measured ~1.3 ms/step of the unpack cost, PERF.md round 4)."""
+    r=1), so its inverse can be expressed as a plain 2D transpose of the
+    collapsed (prod(B), prod(A)) matrix.  Round-4 probe result: rewriting
+    unpack that way LOST at full-step scale (update 3.8 -> 6.4 ms,
+    PERF.md) — kept for documentation and future layout experiments."""
     n = len(perm)
     for r in range(1, n):
         if perm == tuple(range(r, n)) + tuple(range(r)):
@@ -196,24 +195,19 @@ class UnitPlan:
                 perm = self.perms[i]
                 shape = self.leaf_shapes[i]
                 if perm != tuple(range(len(perm))):
-                    split = _rotation_split(perm)
-                    if split is not None:
-                        # collapsed 2D inverse: (prod B, prod A) -> swap
-                        da = 1
-                        for d in shape[:split]:
-                            da *= d
-                        db = size // da
-                        piece = piece.reshape(lead + (db, da))
-                        piece = jnp.swapaxes(piece, nlead, nlead + 1)
-                        leaves[i] = piece.reshape(lead + shape)
-                    else:
-                        permuted_shape = tuple(shape[p] for p in perm)
-                        piece = piece.reshape(lead + permuted_shape)
-                        inv = _invert_perm(perm)
-                        piece = jnp.transpose(
-                            piece, tuple(range(nlead)) + tuple(nlead + p for p in inv)
-                        )
-                        leaves[i] = piece
+                    # NOTE: expressing this inverse as a collapsed 2D
+                    # transpose (every outfirst perm is a rotation, see
+                    # _rotation_split) was probed in round 4 and LOST at
+                    # full-step scale (update stage 3.8 -> 6.4 ms): XLA's
+                    # grouped whole-unit reshapes feed the fused update
+                    # better than per-leaf 2D transposes (PERF.md).
+                    permuted_shape = tuple(shape[p] for p in perm)
+                    piece = piece.reshape(lead + permuted_shape)
+                    inv = _invert_perm(perm)
+                    piece = jnp.transpose(
+                        piece, tuple(range(nlead)) + tuple(nlead + p for p in inv)
+                    )
+                    leaves[i] = piece
                 else:
                     leaves[i] = piece.reshape(lead + shape)
                 offset += size

@@ -76,6 +76,9 @@ def main():
         "mesh_logical": dict(backend="mesh", wire="logical"),
         "mesh_packed": dict(backend="mesh", wire="packed"),
     }
+    if len(sys.argv) > 3:  # optional comma-list of variants (partial reruns)
+        keep = set(sys.argv[3].split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
     out = {}
     for name, extra in variants.items():
         import time

@@ -23,6 +23,13 @@ from jax import random
 
 Dtype = Any
 
+# Reserved module-name suffix marking an nn.scan over repeated blocks whose
+# parameters carry a stacked leading axis.  gqx.parallel.packing keys the
+# per-slice <=1000-element passthrough decision on a path COMPONENT ending
+# with this marker (an exact naming contract, not a substring match over the
+# whole path — a user module merely containing "_scan" cannot trigger it).
+SCAN_AXIS_MARKER = "__scanblocks"
+
 
 def torch_kernel_init():
     # kaiming_uniform(a=sqrt(5)) == U(-sqrt(1/fan_in), sqrt(1/fan_in))

@@ -15,7 +15,13 @@ from typing import Any, Sequence, Type
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gqx.models.common import BatchNorm, TorchConv, TorchDense, avg_pool
+from gqx.models.common import (
+    SCAN_AXIS_MARKER,
+    BatchNorm,
+    TorchConv,
+    TorchDense,
+    avg_pool,
+)
 
 
 class BasicBlock(nn.Module):
@@ -109,7 +115,7 @@ class ResNet(nn.Module):
                     )
                     x, _ = scanned(
                         block=self.block, filters=filters, train=train, dtype=d,
-                        name=f"stage{i}_scan",
+                        name=f"stage{i}{SCAN_AXIS_MARKER}",
                     )(x, None)
                 else:
                     for _ in range(blocks - 1):

@@ -37,11 +37,13 @@ _BR, _BC = 512, 128  # 64K elements per grid block
 
 
 def _uniform_kernel(key_ref, out_ref):
-    # Mosaic accepts at most 2 seed scalars: mix the block index into the
-    # second word (golden-ratio multiply, int32 wraparound) so every grid
-    # block draws an independent stream.
-    mixed = key_ref[1] + pl.program_id(0) * jnp.int32(-1640531527)
-    pltpu.prng_seed(key_ref[0], mixed)
+    # Mosaic accepts at most 2 seed scalars: mix the block index into BOTH
+    # words (distinct odd multipliers, int32 wraparound) so every grid block
+    # draws an independent stream even when two caller keys share one word.
+    i = pl.program_id(0)
+    mixed0 = key_ref[0] ^ (i * jnp.int32(-1640531527))  # 2^32/phi
+    mixed1 = key_ref[1] + (i + jnp.int32(1)) * jnp.int32(-1028477379)  # fnv-ish odd
+    pltpu.prng_seed(mixed0, mixed1)
     bits = pltpu.prng_random_bits(out_ref.shape)
     # bits -> [0,1): take the top 24 bits (float32 mantissa width).  Mosaic
     # has no uint32->f32 cast, so shift in int32 (logical, so the result is
@@ -69,11 +71,19 @@ def _raw_uniform(kd, shape) -> jax.Array:
 def _uniform_fn(shape):
     """Per-shape uniform sampler with a custom vmap rule: a vmapped draw
     (e.g. per-user keys inside ``jax.vmap(norm.compress)``) collapses to ONE
-    kernel call of shape (batch, *shape) seeded by the first mapped key —
-    distinct positions in one stream are i.i.d., so per-user independence is
-    preserved, and the draw stays a deterministic function of the parent
-    key.  (jax.vmap of the raw pallas_call would try to block the SMEM key
-    operand per batch element, which Mosaic rejects.)"""
+    kernel call of shape (batch, *shape) seeded by a position-weighted fold
+    of ALL mapped keys — distinct positions in one stream are i.i.d., so
+    per-user independence is preserved, and the draw stays a deterministic
+    function of the full key batch.  (jax.vmap of the raw pallas_call would
+    try to block the SMEM key operand per batch element, which Mosaic
+    rejects.)
+
+    NOTE: batched-vs-single BITWISE equivalence is intentionally dropped on
+    TPU — row i of a vmapped draw is not the same stream as a single draw
+    with keys[i] (threefry preserved that; the hardware PRNG cannot, since
+    one kernel call has one seed).  This is distributional-only parity, the
+    same freedom class as the reference's unseeded torch.rand; asserted in
+    tests/test_pallas_rand.py."""
 
     @jax.custom_batching.custom_vmap
     def f(kd):
@@ -82,7 +92,15 @@ def _uniform_fn(shape):
     @f.def_vmap
     def _rule(axis_size, in_batched, kd):  # noqa: ANN001
         (kb,) = in_batched
-        out = _raw_uniform(kd[0] if kb else kd, (axis_size,) + shape)
+        if kb:
+            # Fold every mapped key into the seed (position-weighted sum with
+            # int32 wraparound) so the batched stream depends on all of them,
+            # not just keys[0].
+            w = (jnp.arange(axis_size, dtype=jnp.int32) * jnp.int32(2654435769)
+                 + jnp.int32(1))
+            kd = jnp.sum(kd.astype(jnp.int32) * w[:, None], axis=0,
+                         dtype=jnp.int32)
+        out = _raw_uniform(kd, (axis_size,) + shape)
         return out, True
 
     return f
@@ -97,6 +115,10 @@ def pallas_uniform(key, shape) -> jax.Array:
 
 
 def use_pallas_rand() -> bool:
+    """Kill switch for the on-chip PRNG.  Read at TRACE time: set
+    ``GQX_PALLAS_RAND=0`` before the process's first compress call —
+    flipping it later has no effect on already-jitted functions (their
+    choice is baked into the compiled module)."""
     return (
         os.environ.get("GQX_PALLAS_RAND", "1") != "0"
         and jax.default_backend() == "tpu"

@@ -41,6 +41,33 @@ from gqx.train import TrainState, cross_entropy
 PyTree = Any
 
 
+def warn_chain_ring_scale(config, n_devices: int = None) -> bool:
+    """Warn when the reference-faithful chain ring is about to run on a big
+    mesh: its per-device work is O(D) — D sequential full-model hops are the
+    algorithm (reference ring_quantizer.py:25-47), not an implementation
+    artifact — measured 32x slower than the segmented ring at 32 devices
+    (561 s vs 17.4 s/step, results/mesh_bench_cpu_32dev.json).  The
+    segmented ring (``--ring-mode segmented``) is the deploy mode; chain
+    exists for parity.  Returns True if the warning fired."""
+    if config.mode != "ring" or config.ring_mode != "chain":
+        return False
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if n_devices <= 8:
+        return False
+    import warnings
+
+    warnings.warn(
+        f"--mode ring --ring-mode chain on a {n_devices}-device mesh: the "
+        f"chain is latency-bound with O(D) per-device work (reference-parity "
+        f"mode; 32x slower than segmented at 32 devices — "
+        f"results/mesh_bench_cpu_32dev.json). Use --ring-mode segmented for "
+        f"real meshes.",
+        stacklevel=2,
+    )
+    return True
+
+
 def make_user_mesh(num_users: int, axis: str = "users") -> Tuple[Mesh, int]:
     """1-D mesh over all devices; uses the largest device count that divides
     num_users.  Returns (mesh, local_users_per_device)."""

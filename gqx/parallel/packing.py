@@ -238,9 +238,16 @@ def plan_units(params: PyTree, config) -> UnitPlan:
     # Leaves under an nn.scan carry a stacked leading axis (gqx.models.resnet
     # _RepeatedBlocks); the <=1000-element passthrough rule is per *block
     # slice* so decisions match the unscanned layout
-    # (reference ps_quantizer.py:17-20 is per layer).
+    # (reference ps_quantizer.py:17-20 is per layer).  Scanned modules are
+    # identified by the SCAN_AXIS_MARKER naming contract on an exact path
+    # component (not a substring of the whole path).
+    from gqx.models.common import SCAN_AXIS_MARKER
+
     def decision_size(i: int) -> int:
-        if "_scan" in paths[i] and len(shapes[i]) > 1:
+        has_scan_axis = any(
+            seg.endswith(SCAN_AXIS_MARKER) for seg in paths[i].split("/")
+        )
+        if has_scan_axis and len(shapes[i]) > 1:
             return sizes[i] // shapes[i][0]
         return sizes[i]
 

@@ -71,8 +71,9 @@ def run_training(
 
     to_global = jnp.asarray
     if config.backend == "mesh":
-        from gqx.parallel.collectives import make_mesh_train_step
+        from gqx.parallel.collectives import make_mesh_train_step, warn_chain_ring_scale
 
+        warn_chain_ring_scale(config)
         train_step, state = make_mesh_train_step(config, model, plan, tx, state)
         if jax.process_count() > 1:
             # multi-host: every process computes the same global batch order

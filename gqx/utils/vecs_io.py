@@ -9,6 +9,8 @@ per-row Python loops.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -39,9 +41,11 @@ def ivecs_read_mmap(path) -> np.ndarray:
     ``np.memmap`` — rows materialize lazily on access, so a 99 MB codebook
     corpus can be opened whole without touching the pages (behavioral spec:
     reference utils/vecs_io.py:17-30).  The returned array is read-only."""
-    raw = np.memmap(path, dtype=np.int32, mode="r")
-    if raw.size == 0:
+    # np.memmap refuses empty files, so the empty case is checked up front
+    # to match the eager readers' (0, 0) result.
+    if os.path.getsize(path) == 0:
         return np.zeros((0, 0), dtype=np.int32)
+    raw = np.memmap(path, dtype=np.int32, mode="r")
     dim = int(raw[0])
     return raw.reshape(-1, dim + 1)[:, 1:]
 
@@ -51,29 +55,46 @@ def fvecs_read_mmap(path) -> np.ndarray:
 
 
 def bvecs_read_mmap(path) -> np.ndarray:
-    raw = np.memmap(path, dtype=np.uint8, mode="r")
-    if raw.size == 0:
+    if os.path.getsize(path) == 0:
         return np.zeros((0, 0), dtype=np.uint8)
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
     dim = int(raw[:4].view(np.int32)[0])
     return raw.reshape(-1, dim + 4)[:, 4:]
 
 
-def fvecs_write(path, vecs: np.ndarray) -> None:
+def fvecs_write(path, vecs: np.ndarray, append: bool = False) -> None:
+    """Write (or with ``append=True``, append — the reference writers open
+    ``"ab"``, utils/vecs_io.py:33-41) rows in fvecs format."""
     vecs = np.ascontiguousarray(np.asarray(vecs, dtype=np.float32))
     n, dim = vecs.shape
     buf = np.empty((n, dim + 1), dtype=np.int32)
     buf[:, 0] = dim
     buf[:, 1:] = vecs.view(np.int32)
-    buf.tofile(path)
+    with open(path, "ab" if append else "wb") as f:
+        buf.tofile(f)
 
 
-def ivecs_write(path, vecs: np.ndarray) -> None:
+def ivecs_write(path, vecs: np.ndarray, append: bool = False) -> None:
     vecs = np.ascontiguousarray(np.asarray(vecs, dtype=np.int32))
     n, dim = vecs.shape
     buf = np.empty((n, dim + 1), dtype=np.int32)
     buf[:, 0] = dim
     buf[:, 1:] = vecs
-    buf.tofile(path)
+    with open(path, "ab" if append else "wb") as f:
+        buf.tofile(f)
+
+
+def bvecs_write(path, vecs: np.ndarray, append: bool = False) -> None:
+    """uint8-payload writer: 4-byte dim header + ``dim`` bytes per row
+    (completes the reader/writer family; row framing per reference
+    utils/vecs_io.py:5-8)."""
+    vecs = np.ascontiguousarray(np.asarray(vecs, dtype=np.uint8))
+    n, dim = vecs.shape
+    buf = np.empty((n, dim + 4), dtype=np.uint8)
+    buf[:, :4] = np.full((n, 1), dim, dtype=np.int32).view(np.uint8)
+    buf[:, 4:] = vecs
+    with open(path, "ab" if append else "wb") as f:
+        buf.tofile(f)
 
 
 def normalize_rows(vecs: np.ndarray):

@@ -38,3 +38,26 @@ def test_cli_flags_reach_config():
     assert cfg.random is False
     assert cfg.use_pallas is True
     assert (cfg.quantizer, cfg.c_dim, cfg.n_bit) == ("qsgd", 128, 2)
+
+
+def test_chain_ring_scale_warning():
+    # chain ring on a big mesh is O(D) per-device work (32x slower than
+    # segmented at 32 devices) — the runner must warn and point at
+    # --ring-mode segmented (VERDICT r4 item 8)
+    import warnings
+
+    from gqx.parallel.collectives import warn_chain_ring_scale
+
+    chain = GQConfig(mode="ring", ring_mode="chain")
+    seg = GQConfig(mode="ring", ring_mode="segmented")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert warn_chain_ring_scale(chain, n_devices=32)
+        assert len(w) == 1 and "segmented" in str(w[0].message)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert not warn_chain_ring_scale(chain, n_devices=8)  # small: quiet
+        assert not warn_chain_ring_scale(seg, n_devices=32)   # segmented: quiet
+        assert not warn_chain_ring_scale(GQConfig(mode="ps"), n_devices=32)
+        assert not w

@@ -6,6 +6,7 @@ import numpy as np
 from gqx.utils.vecs_io import (
     bvecs_read,
     bvecs_read_mmap,
+    bvecs_write,
     fvecs_read,
     fvecs_read_mmap,
     fvecs_write,
@@ -55,3 +56,43 @@ def test_empty_files(tmp_path):
     assert fvecs_read(p).shape == (0, 0)
     assert ivecs_read(p).shape == (0, 0)
     assert bvecs_read(p).shape == (0, 0)
+    # mmap readers must match the eager (0, 0) result instead of crashing in
+    # np.memmap ('cannot mmap an empty file')
+    assert fvecs_read_mmap(p).shape == (0, 0)
+    assert ivecs_read_mmap(p).shape == (0, 0)
+    assert bvecs_read_mmap(p).shape == (0, 0)
+
+
+def test_bvecs_write_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    vecs = rng.integers(0, 256, size=(13, 9)).astype(np.uint8)
+    p = tmp_path / "w.bvecs"
+    bvecs_write(p, vecs)
+    np.testing.assert_array_equal(bvecs_read(p), vecs)
+    np.testing.assert_array_equal(np.asarray(bvecs_read_mmap(p)), vecs)
+
+
+def test_writers_append_mode(tmp_path):
+    # the reference writers open "ab" (utils/vecs_io.py:33-52): appending two
+    # batches equals one concatenated write
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    b = rng.standard_normal((5, 4)).astype(np.float32)
+    p = tmp_path / "app.fvecs"
+    fvecs_write(p, a)
+    fvecs_write(p, b, append=True)
+    np.testing.assert_array_equal(fvecs_read(p), np.concatenate([a, b]))
+
+    ia = rng.integers(0, 99, size=(2, 6)).astype(np.int32)
+    ib = rng.integers(0, 99, size=(4, 6)).astype(np.int32)
+    q = tmp_path / "app.ivecs"
+    ivecs_write(q, ia)
+    ivecs_write(q, ib, append=True)
+    np.testing.assert_array_equal(ivecs_read(q), np.concatenate([ia, ib]))
+
+    ba = rng.integers(0, 256, size=(2, 5)).astype(np.uint8)
+    bb = rng.integers(0, 256, size=(3, 5)).astype(np.uint8)
+    r = tmp_path / "app.bvecs"
+    bvecs_write(r, ba)
+    bvecs_write(r, bb, append=True)
+    np.testing.assert_array_equal(bvecs_read(r), np.concatenate([ba, bb]))

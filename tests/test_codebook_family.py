@@ -1,7 +1,10 @@
-"""The committed codebook corpus covers the full reference-reachable family
-(reference codebook_generator.py:25-26: dims 1..65 x Ks {32,64,256,512,1024},
-plus the dim-128 extras HSQ can reach with --c-dim 128), so ``get_codebook``
-never falls back to train-at-train-time for any of these configs."""
+"""The committed codebook corpus covers the full family the reference SHIPS
+(reference codebooks/learned_codebook/: dims 1..65 + {128,256,512} x Ks
+{32,...,4096} — loaded by nearest_neighbor_compressor.py:50-52), so
+``get_codebook`` never falls back to train-at-train-time for any reference-
+reachable (dim, K).  We are a strict superset: the 3 files the reference
+checkout lost to missing-large-blobs (its .MISSING_LARGE_BLOBS) are present
+here too."""
 
 import os
 
@@ -10,8 +13,8 @@ import pytest
 
 from gqx.codebooks import DEFAULT_CACHE_DIR, codebook_filename, get_codebook
 
-KS = (32, 64, 256, 512, 1024)
-DIMS = tuple(range(1, 66)) + (128,)
+KS = (32, 64, 256, 512, 1024, 2048, 4096)
+DIMS = tuple(range(1, 66)) + (128, 256, 512)
 
 
 def test_family_files_present():

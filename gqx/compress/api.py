@@ -74,6 +74,15 @@ class Compressor:
     def roundtrip_batch(self, vecs: jax.Array, keys) -> jax.Array:
         return self.decompress_batch(self.compress_batch(vecs, keys))
 
+    def compress_batch_m(self, vecs: jax.Array, keys) -> Sig:
+        """Like :meth:`compress_batch` but guaranteed to emit the canonical
+        m-order signature layout (leaf shapes = one user's ``compress``
+        output with a leading U axis) even when a subclass's batched fast
+        path would otherwise use a kernel-native layout.  The packed wire
+        format (gqx.ops.wire) is defined over m-order signatures, so
+        cross-device payloads always use this entry point."""
+        return self.compress_batch(vecs, keys)
+
     # -- wire accounting ----------------------------------------------------
     @property
     def wire_bits(self) -> int:

@@ -272,6 +272,27 @@ class HSQCompressor(Compressor):
             sig["u"] = u
         return sig
 
+    def compress_batch_m(self, vecs, keys) -> Sig:
+        """Batched encode forced to the canonical m-order layout (the packed
+        wire is defined over it); still one batched kernel call — only the
+        compact signature is layout-converted, never the gradient."""
+        if not self.flat_ok:
+            return super().compress_batch(vecs, keys)
+        hsq_encode_flat = _hsq_kernels().hsq_encode_flat
+
+        users = vecs.shape[0]
+        u, codes = hsq_encode_flat(
+            self._enc_input(vecs.reshape(users, -1)), self._eh,
+            self._el, self.dim, tile_s=self._ENC_TILE_S,
+            passes=self.passes,
+        )
+        sig: Sig = {"codes": codes.astype(code_dtype(self.code_bits))}
+        if self.compressed_norm:
+            sig["u"] = jax.vmap(self.norm_compressor.compress)(u, keys)
+        else:
+            sig["u"] = u
+        return sig
+
     def _batch_u(self, sig: Sig) -> jax.Array:
         """Dequantized scales for a batched sig (either layout)."""
         transposed = sig["codes"].ndim == 3

@@ -84,35 +84,41 @@ def make_user_mesh(num_users: int, axis: str = "users") -> Tuple[Mesh, int]:
 # --------------------------------------------------------------------------
 
 def _ps_unit_logical(comp, g_local, e_local, scale, keys, axis):
-    """g_local: (U_local, unit_size). Returns (global_mean, new_e_local)."""
+    """g_local: (U_local, unit_size). Returns (global_mean, new_e_local).
+
+    Uses the BATCHED kernel API (compress_batch / roundtrip_batch / fused
+    decode_mean — the same hot path as the sim backend): round 4 shipped a
+    per-user ``jax.vmap(compress)`` here, which wrapped each Pallas call in
+    an XLA while-loop with per-user dynamic-update-slices and skipped the
+    transposed-signature fast path (PERF.md round 4: mesh_logical carried
+    +29 ms of world=1 machinery over sim_vmap)."""
     if e_local is not None:
-        dec, e_new = jax.vmap(
-            lambda g, e, k: _user_roundtrip(comp, g, e, scale, k)
-        )(g_local, e_local, keys)
+        g_adj = g_local + scale * e_local     # EF inject (ps_quantizer.py:34-35)
+        dec = comp.roundtrip_batch(g_adj, keys)
+        e_new = g_adj - dec                   # new error (ps_quantizer.py:39)
         local_mean = jnp.mean(dec, axis=0)
     else:
-        sig = jax.vmap(lambda g, k: comp.compress(g, k))(g_local, keys)
-        local_mean = comp.decode_mean(sig)  # fused server reduce
+        sig = comp.compress_batch(g_local, keys)
+        local_mean = comp.decode_mean(sig)    # fused server reduce
         e_new = None
     return jax.lax.pmean(local_mean, axis), e_new
 
 
 def _ps_unit_packed(comp, g_local, e_local, scale, keys, axis):
-    """Wire-true PS: all-gather packed payloads, decode all users, mean."""
+    """Wire-true PS: all-gather packed payloads, decode all users, mean.
+
+    Encode is ONE batched kernel call in the canonical m-order layout
+    (``compress_batch_m`` — the packed wire format is defined over m-order
+    signatures); only pack/unpack of the compact signature is vmapped per
+    user (cheap after the periodic pack_bits formulation, gqx.ops.pack)."""
     from gqx.ops.wire import pack_signature, unpack_signature
 
-    def encode(g, e, k):
-        if e is not None:
-            g = g + scale * e
-        sig = comp.compress(g, k)
-        dec = comp.decompress(sig)
-        e_new = (g - dec) if e is not None else None
-        return pack_signature(comp, sig), e_new
-
+    g_enc = g_local + scale * e_local if e_local is not None else g_local
+    sig = comp.compress_batch_m(g_enc, keys)
+    wire = jax.vmap(lambda s: pack_signature(comp, s))(sig)
+    e_new = None
     if e_local is not None:
-        wire, e_new = jax.vmap(encode)(g_local, e_local, keys)
-    else:
-        wire, e_new = jax.vmap(lambda g, k: encode(g, None, k))(g_local, keys)
+        e_new = g_enc - comp.decompress_batch(sig)
 
     # all-gather every wire field: (U_local, W) -> (D, U_local, W) -> (U, W)
     gathered = jax.tree.map(
@@ -238,6 +244,28 @@ def _ring_unit_segmented(comp_chunk, chunk, g_local, e_local, scale, keys,
     return out, (jnp.stack(e_out)[None] if ef_on else None)
 
 
+def _pmean_tree(tree, axis):
+    """pmean of a whole pytree as ONE collective: ravel+concat the leaves,
+    pmean the single vector, split back.  A per-leaf ``tree.map(pmean)``
+    emits one collective op per leaf (~106 BN-stat leaves on ResNet-50),
+    which multiplies both compile time and launch overhead."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves:
+        return tree
+    if len(leaves) == 1:
+        return jax.tree.unflatten(
+            treedef, [jax.lax.pmean(leaves[0], axis)]
+        )
+    flat = jnp.concatenate([l.reshape(-1) for l in leaves])
+    flat = jax.lax.pmean(flat, axis)
+    out, off = [], 0
+    for l in leaves:
+        n = int(np.prod(l.shape)) if l.shape else 1
+        out.append(flat[off:off + n].reshape(l.shape))
+        off += n
+    return jax.tree.unflatten(treedef, out)
+
+
 def segment_chunk_size(unit_size: int, n_dev: int, align: int) -> int:
     """Per-device segment size: ceil(unit/D) rounded up to the compressor's
     subvector alignment."""
@@ -310,11 +338,25 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, grads, new_stats
 
+    folded = bool(getattr(config, "folded_users", False))
+
     def sharded_body(params, batch_stats, opt_state, agg_state, x, y, scale, lr, wd, key):
         # x: (U_local, B, ...) on this device
-        losses, grads, new_stats = jax.vmap(
-            lambda xu, yu: user_grads(params, batch_stats, xu, yu)
-        )(x, y)
+        if folded:
+            # folded fwd/bwd over the LOCAL users (same ghost-routed
+            # per-user-grad machinery as the sim backend, ~2x faster
+            # backward than vmap — gqx.train.folded_user_grads); stats come
+            # back already averaged over local users
+            from gqx.train import folded_user_grads
+
+            losses, grads, local_stats = folded_user_grads(
+                model, plan, local_users, params, batch_stats, x, y
+            )
+        else:
+            losses, grads, new_stats = jax.vmap(
+                lambda xu, yu: user_grads(params, batch_stats, xu, yu)
+            )(x, y)
+            local_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
 
         units = plan.pack(grads)  # [(U_local, unit_size)]
         keys = unit_keys(key, len(units), local_users)
@@ -367,8 +409,7 @@ def make_mesh_train_step(config, model, plan: UnitPlan, tx, state: TrainState):
 
         new_params, new_opt_state = fused_sgd_update(
             agg_grads, params, opt_state, lr, wd, momentum)
-        local_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
-        new_batch_stats = jax.tree.map(lambda s: jax.lax.pmean(s, axis), local_stats)
+        new_batch_stats = _pmean_tree(local_stats, axis)
         mean_loss = jax.lax.pmean(jnp.mean(losses), axis)
         return new_params, new_batch_stats, new_opt_state, new_agg_state, mean_loss
 

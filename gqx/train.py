@@ -149,8 +149,10 @@ def make_train_step(config, model, plan: UnitPlan, tx) -> Callable:
     return train_step
 
 
-def _make_train_step_folded(config, model, plan: UnitPlan, tx) -> Callable:
-    """Folded-users step (see make_train_step docstring).
+def folded_user_grads(model, plan: UnitPlan, users: int, params, batch_stats,
+                      x, y):
+    """Folded-users forward/backward: one fwd/bwd on the (U*B,) folded batch
+    with ghost-routed per-user weight grads (gqx/models/folded.py).
 
     Per-user grads: ghost-covered leaves (conv/dense kernels, BN
     scale/bias — gqx/models/common.py folded wrappers) get the true
@@ -159,92 +161,101 @@ def _make_train_step_folded(config, model, plan: UnitPlan, tx) -> Callable:
     guaranteed (asserted) to sit in identity-compressor (passthrough)
     units: the identity roundtrip is linear with zero EF error, so
     mean/sum aggregation of the broadcast equals that of the true
-    per-user values."""
+    per-user values.
+
+    ``x``: (U, B, ...), ``y``: (U, B).  Returns (losses (U,), grads with a
+    leading users axis on every leaf, new_stats WITHOUT a users axis — the
+    folded BatchNorm already averaged the per-user stat updates).  Shared by
+    the sim step and the mesh body (where U = local users per device)."""
     from gqx.compress.scalar import IdenticalCompressor
     from gqx.models.common import folded_users
 
+    def _path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    u, b = x.shape[0], x.shape[1]
+    xf = x.reshape((u * b,) + x.shape[2:])
+
+    with folded_users(u):
+        gv = jax.eval_shape(
+            functools.partial(model.init, train=True),
+            jax.random.PRNGKey(0), xf,
+        )
+    ghosts0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), gv["ghosts"])
+
+    has_bn = bool(batch_stats)
+
+    def loss_fold(gh, p):
+        variables = {"params": p, "ghosts": gh}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        with folded_users(u):
+            out = model.apply(
+                variables, xf, train=True,
+                mutable=["batch_stats"] if has_bn else [],
+            )
+        if has_bn:
+            logits, mutated = out
+            stats = mutated["batch_stats"]
+        else:
+            logits = out[0] if isinstance(out, tuple) else out
+            stats = batch_stats
+        lg = logits.reshape(u, b, -1)
+        losses = jax.vmap(cross_entropy)(lg, y)
+        return jnp.sum(losses), (losses, stats)
+
+    (_, (losses, new_stats)), (g_ghost, g_param) = jax.value_and_grad(
+        loss_fold, argnums=(0, 1), has_aux=True
+    )(ghosts0, params)
+
+    # merge: ghost-covered leaves get true per-user grads; others
+    # get the folded total / U broadcast (exact for passthrough)
+    ghost_flat = {
+        _path_str(path): g
+        for path, g in jax.tree_util.tree_flatten_with_path(g_ghost)[0]
+    }
+    merged = []
+    uncovered_idx = []
+    param_items = jax.tree_util.tree_flatten_with_path(g_param)[0]
+    for i, (path, g) in enumerate(param_items):
+        key_ = _path_str(path)
+        if key_ in ghost_flat:
+            merged.append(ghost_flat[key_].astype(jnp.float32))
+        else:
+            uncovered_idx.append(i)
+            merged.append(
+                jnp.broadcast_to(
+                    (g / u)[None].astype(jnp.float32), (u,) + g.shape
+                )
+            )
+    # every uncovered leaf must be in an identity (passthrough) unit
+    for unit in plan.units:
+        if isinstance(unit.compressor, IdenticalCompressor):
+            continue
+        bad = set(unit.leaf_indices) & set(uncovered_idx)
+        assert not bad, (
+            f"folded_users: leaves {bad} are compressed but have no "
+            f"ghost — per-user grads would be wrong; use the vmap "
+            f"path for this model/config"
+        )
+    grads = jax.tree.unflatten(jax.tree.structure(g_param), merged)
+    return losses, grads, new_stats
+
+
+def _make_train_step_folded(config, model, plan: UnitPlan, tx) -> Callable:
+    """Folded-users step (see make_train_step and folded_user_grads
+    docstrings)."""
     aggregator = make_aggregator(config, plan)
     users = config.num_users
     from gqx.config import resolve_schedule
 
     momentum = resolve_schedule(config)[4]
 
-    def _path_str(path):
-        return "/".join(str(getattr(k, "key", k)) for k in path)
-
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y, scale, lr, wd, key):
-        u, b = x.shape[0], x.shape[1]
-        xf = x.reshape((u * b,) + x.shape[2:])
-
         with jax.named_scope("user_fwd_bwd_folded"):
-            with folded_users(users):
-                gv = jax.eval_shape(
-                    functools.partial(model.init, train=True),
-                    jax.random.PRNGKey(0), xf,
-                )
-            ghosts0 = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), gv["ghosts"]
-            )
-
-            has_bn = bool(state.batch_stats)
-
-            def loss_fold(gh, p):
-                variables = {"params": p, "ghosts": gh}
-                if has_bn:
-                    variables["batch_stats"] = state.batch_stats
-                with folded_users(users):
-                    out = model.apply(
-                        variables, xf, train=True,
-                        mutable=["batch_stats"] if has_bn else [],
-                    )
-                if has_bn:
-                    logits, mutated = out
-                    stats = mutated["batch_stats"]
-                else:
-                    logits = out[0] if isinstance(out, tuple) else out
-                    stats = state.batch_stats
-                lg = logits.reshape(u, b, -1)
-                losses = jax.vmap(cross_entropy)(lg, y)
-                return jnp.sum(losses), (losses, stats)
-
-            (_, (losses, new_stats)), (g_ghost, g_param) = jax.value_and_grad(
-                loss_fold, argnums=(0, 1), has_aux=True
-            )(ghosts0, state.params)
-
-            # merge: ghost-covered leaves get true per-user grads; others
-            # get the folded total / U broadcast (exact for passthrough)
-            ghost_flat = {
-                _path_str(path): g
-                for path, g in jax.tree_util.tree_flatten_with_path(g_ghost)[0]
-            }
-            merged = []
-            uncovered_idx = []
-            param_items = jax.tree_util.tree_flatten_with_path(g_param)[0]
-            for i, (path, g) in enumerate(param_items):
-                key_ = _path_str(path)
-                if key_ in ghost_flat:
-                    merged.append(ghost_flat[key_].astype(jnp.float32))
-                else:
-                    uncovered_idx.append(i)
-                    merged.append(
-                        jnp.broadcast_to(
-                            (g / users)[None].astype(jnp.float32),
-                            (users,) + g.shape,
-                        )
-                    )
-            # every uncovered leaf must be in an identity (passthrough) unit
-            for unit in plan.units:
-                if isinstance(unit.compressor, IdenticalCompressor):
-                    continue
-                bad = set(unit.leaf_indices) & set(uncovered_idx)
-                assert not bad, (
-                    f"folded_users: leaves {bad} are compressed but have no "
-                    f"ghost — per-user grads would be wrong; use the vmap "
-                    f"path for this model/config"
-                )
-            grads = jax.tree.unflatten(
-                jax.tree.structure(g_param), merged
+            losses, grads, new_stats = folded_user_grads(
+                model, plan, users, state.params, state.batch_stats, x, y
             )
 
         with jax.named_scope("quantized_aggregate"):

@@ -66,6 +66,8 @@ def assert_trees_close(a, b, rtol=2e-4, atol=2e-5, flip_frac=2e-3):
 @pytest.mark.parametrize("mode,wire,ef,two_phase", [
     ("ps", "logical", False, False),
     ("ps", "packed", False, False),
+    ("ps", "packed", True, False),
+    ("ps", "packed", True, True),
     ("ps", "logical", True, False),
     ("ps", "logical", True, True),
     ("ring", "logical", False, False),

@@ -39,6 +39,36 @@ def test_pack_bits_matches_aligned(rng):
     )
 
 
+def _bitstream_oracle(vals: np.ndarray, bits: int) -> np.ndarray:
+    """Brute-force little-endian bitstream packer (the wire-format spec)."""
+    n = len(vals)
+    stream = np.zeros(-(-n * bits // 32) * 32, dtype=np.uint8)
+    for i, v in enumerate(vals):
+        for j in range(bits):
+            stream[i * bits + j] = (int(v) >> j) & 1
+    words = stream.reshape(-1, 32)
+    return (words.astype(np.uint64) << np.arange(32, dtype=np.uint64)).sum(
+        axis=1
+    ).astype(np.uint32)
+
+
+@pytest.mark.parametrize("bits", list(range(1, 18)) + [20, 24, 31, 32])
+def test_pack_bits_matches_bitstream_oracle(bits, rng):
+    # the periodic formulation must be BIT-EXACT vs the little-endian
+    # bitstream spec for every width (incl. awkward n not on a period
+    # boundary) — this pins the wire format across implementations
+    # (native/gqx_native.cc implements the same layout host-side)
+    for n in (1, 7, 64, 333):
+        hi = 2 ** min(bits, 31)
+        vals = np.asarray(rng.integers(0, hi, size=n), np.uint32)
+        got = np.asarray(pack_uint(jnp.asarray(vals), bits))
+        np.testing.assert_array_equal(
+            got, _bitstream_oracle(vals, bits)[: len(got)]
+        )
+        back = np.asarray(unpack_uint(jnp.asarray(got), bits, n))
+        np.testing.assert_array_equal(back, vals)
+
+
 NAMES = ("sgd", "sign", "qsgd", "hsq", "pvq", "residual", "topk", "maurey")
 
 

@@ -86,6 +86,17 @@ CONFIGS = {
     "hsq_ring_lr8": dict(quantizer="hsq", c_dim=16, k_bit=8, n_bit=6,
                          mode="ring", lr=0.0125),
     "sgd_lr8": dict(quantizer="sgd", lr=0.0125),
+    # round-5 EF-win gate (VERDICT r4 item 4): the textbook case where
+    # aggressive compression alone degrades accuracy and error feedback is
+    # the classic fix — top-k with cr=256 (0.4% of coordinates kept), PS
+    # mode, CONSTANT scale 1 (no warmup, reference ps_quantizer.py:28-31
+    # else-branch).  Run on both sides, paired by seed/fold; expect
+    # topk_ef > topk with CI on both, ΔΔ ≈ 0.
+    "topk": dict(quantizer="topk", cr=256, scale="1"),
+    "topk_ef": dict(quantizer="topk", cr=256, ef=True, scale="1"),
+    # secondary EF case: TernGrad (qsgd n_bit=1, whole-layer bucket)
+    "terngrad_ef": dict(quantizer="terngrad", ef=True, scale="1"),
+    "terngrad_s1": dict(quantizer="terngrad", scale="1"),
 }
 
 NETWORK_DATASET = {"fcn": "digits", "cnn": "digits", "resnet18": "digits32",
@@ -129,6 +140,7 @@ def run_reference(network: str, cfg: dict, data, seed: int) -> list:
             NearestNeighborCompressor,
             QSGDCompressor,
             SignSGDCompressor,
+            TopKSparsificationCompressor,
         )
         from models.cnn import CNN
         from models.fcn import FCN
@@ -142,6 +154,7 @@ def run_reference(network: str, cfg: dict, data, seed: int) -> list:
             "qsgd": QSGDCompressor,
             "terngrad": QSGDCompressor,
             "sign": SignSGDCompressor,
+            "topk": TopKSparsificationCompressor,
         }[cfg["quantizer"]]
         c_dim = cfg.get("c_dim", 0 if cfg["quantizer"] == "terngrad" else 32)
         n_bit = cfg.get("n_bit", 1 if cfg["quantizer"] == "terngrad" else 8)
@@ -149,7 +162,8 @@ def run_reference(network: str, cfg: dict, data, seed: int) -> list:
             c_dim=c_dim, k_bit=cfg.get("k_bit", 8), n_bit=n_bit,
             no_cuda=True, random=True, num_users=NUM_USERS,
             ef=cfg.get("ef", False), two_phase=cfg.get("two_phase", False),
-            scale="exp", cr=256, mode=cfg.get("mode", "ps"),
+            scale=cfg.get("scale", "exp"), cr=cfg.get("cr", 256),
+            mode=cfg.get("mode", "ps"),
         )
         if network == "cnn":
             # this torch-CPU build's oneDNN conv emits channels-last tensors,

@@ -30,12 +30,21 @@ class TopKCompressor(Compressor):
     def __init__(self, size: int, shape: Tuple[int, ...], cr: int):
         super().__init__(size, shape)
         self.cr = int(cr)
+        # Reference quirk (topk_sparsification_compressor.py:15): k is the
+        # plain floor division, so a tensor smaller than cr gets k == 0 and
+        # its gradient is dropped ENTIRELY (torch.topk(k=0) selects nothing).
+        # We keep one slot on the wire (static shapes; empty arrays do not
+        # pack) but zero its value, which decompresses to the same all-zeros
+        # tensor.
+        self.dropped = size // self.cr == 0
         self.k = max(1, size // self.cr)
 
     def compress(self, vec, key=None) -> Sig:
         flat = vec.reshape(-1)
         _, idx = jax.lax.top_k(jnp.abs(flat), self.k)
         values = flat[idx]
+        if self.dropped:
+            values = jnp.zeros_like(values)
         return {"values": values, "indices": idx.astype(jnp.int32)}
 
     def decompress(self, sig) -> jax.Array:

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 # Per-user weight-grad (dW) implementation for shared_conv's backward:
-#   'bgc'    — (default) vmapped per-user conv vjp (XLA lowers to
+#   'bgc'    — vmapped per-user conv vjp (XLA lowers to
 #              batch_group_count=U grouped convolutions).  Full-step A/B
 #              with retuned tiles: bgc 51.6 ms vs hybrid 52.0 (PERF.md r4).
 #   'hybrid' — einsum for 1x1 stride-1 convs, bgc otherwise.  Probe-driven
@@ -50,6 +50,10 @@ import jax.numpy as jnp
 #              globally (44.8 vs 38.9 ms whole-model, probe_dw.py) and
 #              CRASHES XLA's fusion pass on small-spatial 3x3 geometries
 #              (TransformWindow SIGABRT) — debugging/probe use only.
+#   'pallas' — Pallas per-user dW kernel (gqx/ops/pallas_dw.py) for
+#              stride-1 KxK convs with K > 1 (shifted in-VMEM slices + MXU
+#              contractions, the bgc outlier class), einsum for 1x1
+#              stride-1, bgc for strided convs.  TPU only.
 # Trace-time switch (module attribute; env GQX_DW_IMPL sets the default).
 DW_IMPL = os.environ.get("GQX_DW_IMPL", "bgc")
 
@@ -113,16 +117,40 @@ def _shared_conv_fwd(x, kernel, ghost, users, strides, padding):
     return _conv(x, k, strides, padding), (x, k)
 
 
+def _resolved_pads(x, k, strides, padding):
+    if isinstance(padding, str):
+        return jax.lax.padtype_to_pads(
+            x.shape[1:3], k.shape[:2], tuple(strides), padding)
+    return list(padding)
+
+
+def _per_user_dw_pallas(x, dy, k, users, strides, padding):
+    from gqx.ops.pallas_dw import per_user_dw
+
+    pads = _resolved_pads(x, k, strides, padding)
+    return per_user_dw(
+        x, dy, users, k.shape[0], k.shape[1], pads[0][0], pads[1][0]
+    ).astype(k.dtype)
+
+
 def _shared_conv_bwd(users, strides, padding, res, dy):
     x, k = res
     # data gradient on the folded batch (fast path: no batch groups)
     dx = jax.vjp(lambda xx: _conv(xx, k, strides, padding), x)[1](dy)[0]
+    is_1x1_s1 = k.shape[0] == k.shape[1] == 1 and tuple(strides) == (1, 1)
+    is_kxk_s1 = k.shape[0] * k.shape[1] > 1 and tuple(strides) == (1, 1)
     use_einsum = DW_IMPL == "einsum" or (
-        DW_IMPL == "hybrid"
-        and k.shape[0] == k.shape[1] == 1
-        and tuple(strides) == (1, 1)
+        DW_IMPL in ("hybrid", "pallas") and is_1x1_s1
     )
-    if use_einsum:
+    if DW_IMPL == "sharedbroadcast":
+        # MEASUREMENT-ONLY mode (semantically WRONG — every user gets the
+        # folded total): isolates the intrinsic per-user-vs-shared dW cost
+        # in the otherwise-identical backward context (scripts/probe_dw.py)
+        dw = jax.vjp(lambda kk: _conv(x, kk, strides, padding), k)[1](dy)[0]
+        dku = jnp.broadcast_to(dw[None], (users,) + dw.shape)
+    elif DW_IMPL == "pallas" and is_kxk_s1 and dy.shape[1:3] == x.shape[1:3]:
+        dku = _per_user_dw_pallas(x, dy, k, users, strides, padding)
+    elif use_einsum:
         dku = _per_user_dw_einsum(x, dy, k, users, strides, padding)
     else:
         # per-user weight gradient: one vjp per user slice (batch_group conv)

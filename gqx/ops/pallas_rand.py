@@ -96,7 +96,10 @@ def _uniform_fn(shape):
             # Fold every mapped key into the seed (position-weighted sum with
             # int32 wraparound) so the batched stream depends on all of them,
             # not just keys[0].
-            w = (jnp.arange(axis_size, dtype=jnp.int32) * jnp.int32(2654435769)
+            # golden-ratio odd multiplier, written as its int32 two's-
+            # complement value (2654435769 - 2^32): a positive literal
+            # > 2^31-1 overflows jnp.int32 at trace time
+            w = (jnp.arange(axis_size, dtype=jnp.int32) * jnp.int32(-1640531527)
                  + jnp.int32(1))
             kd = jnp.sum(kd.astype(jnp.int32) * w[:, None], axis=0,
                          dtype=jnp.int32)

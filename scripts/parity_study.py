@@ -97,6 +97,13 @@ CONFIGS = {
     # secondary EF case: TernGrad (qsgd n_bit=1, whole-layer bucket)
     "terngrad_ef": dict(quantizer="terngrad", ef=True, scale="1"),
     "terngrad_s1": dict(quantizer="terngrad", scale="1"),
+    # harsher sparsity (cr=4096: W1 keeps 49 of 200704 coords) and the exp
+    # warmup scale — sweep to locate the regime where plain top-k collapses
+    # and EF rescues it
+    "topk_hi": dict(quantizer="topk", cr=4096, scale="1"),
+    "topk_hi_ef": dict(quantizer="topk", cr=4096, ef=True, scale="1"),
+    "topk_hi_ef_exp": dict(quantizer="topk", cr=4096, ef=True, scale="exp"),
+    "topk_ef_exp": dict(quantizer="topk", cr=256, ef=True, scale="exp"),
 }
 
 NETWORK_DATASET = {"fcn": "digits", "cnn": "digits", "resnet18": "digits32",

@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gqx.models.common import TorchConv, TorchDense, max_pool
+from gqx.models.common import TorchConv, TorchDense, max_pool, relu
 
 
 class CNN(nn.Module):
@@ -17,12 +17,12 @@ class CNN(nn.Module):
     def __call__(self, x, train: bool = True):
         del train
         x = TorchConv(20, (5, 5), padding="VALID", use_bias=True)(x)
-        x = jnp.maximum(x, 0.0)
+        x = relu(x)
         x = max_pool(x, 2)
         x = TorchConv(50, (5, 5), padding="VALID", use_bias=True)(x)
-        x = jnp.maximum(x, 0.0)
+        x = relu(x)
         x = max_pool(x, 2)
         x = x.reshape(x.shape[0], -1)
-        x = jnp.maximum(TorchDense(500)(x), 0.0)
+        x = relu(TorchDense(500)(x))
         x = TorchDense(self.num_classes)(x)
         return nn.log_softmax(x)

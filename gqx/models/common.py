@@ -128,6 +128,34 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+@jax.custom_vjp
+def relu(x):
+    """ReLU whose backward recomputes the mask from the OUTPUT.
+
+    ``jnp.maximum(x, 0.0)`` makes autodiff save the pre-activation x for
+    the backward mask, so every BN+ReLU site stores TWO full activation
+    tensors (the r5 resnet50 trace shows dual-output bf16 forward fusions
+    at exactly these sites).  The output y is already saved as the next
+    conv's backward input, and ``y > 0  <=>  x > 0`` wherever the gradient
+    is nonzero, so masking on y lets XLA drop the extra tensor — one
+    fewer full-activation store+load per ReLU (~2 ms/step on the
+    resnet50 bench config).  Values differ from jnp.maximum only in the
+    measure-zero subgradient at exactly x == 0."""
+    return jnp.maximum(x, 0.0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0.0)
+    return y, y
+
+
+def _relu_bwd(y, dy):
+    return ((dy * (y > 0).astype(dy.dtype)).astype(dy.dtype),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
 def avg_pool(x, window: int, stride: int | None = None):
     stride = stride or window
     return nn.avg_pool(x, (window, window), strides=(stride, stride))

@@ -11,7 +11,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gqx.models.common import BatchNorm, TorchConv, TorchDense, avg_pool
+from gqx.models.common import BatchNorm, TorchConv, TorchDense, avg_pool, relu
 
 
 class DenseBottleneck(nn.Module):
@@ -21,9 +21,9 @@ class DenseBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = self.dtype
-        out = jnp.maximum(BatchNorm(d)(x, train), 0.0)
+        out = relu(BatchNorm(d)(x, train))
         out = TorchConv(4 * self.growth_rate, (1, 1), dtype=d)(out)
-        out = jnp.maximum(BatchNorm(d)(out, train), 0.0)
+        out = relu(BatchNorm(d)(out, train))
         out = TorchConv(self.growth_rate, (3, 3), dtype=d)(out)
         # channel concat (reference densenet.py:19: cat([out, x]))
         return jnp.concatenate([out, x], axis=-1)
@@ -36,7 +36,7 @@ class Transition(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = self.dtype
-        x = jnp.maximum(BatchNorm(d)(x, train), 0.0)
+        x = relu(BatchNorm(d)(x, train))
         x = TorchConv(self.out_planes, (1, 1), dtype=d)(x)
         return avg_pool(x, 2)
 
@@ -62,7 +62,7 @@ class DenseNet(nn.Module):
                 out_planes = int(math.floor(num_planes * self.reduction))
                 x = Transition(out_planes, dtype=d)(x, train)
                 num_planes = out_planes
-        x = jnp.maximum(BatchNorm(d)(x, train), 0.0)
+        x = relu(BatchNorm(d)(x, train))
         x = avg_pool(x, 4)
         x = x.reshape(x.shape[0], -1)
         return TorchDense(self.num_classes, dtype=d)(x).astype(jnp.float32)

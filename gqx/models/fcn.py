@@ -8,7 +8,7 @@ import typing
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gqx.models.common import TorchDense
+from gqx.models.common import TorchDense, relu
 
 
 class FCN(nn.Module):
@@ -21,5 +21,5 @@ class FCN(nn.Module):
     def __call__(self, x, train: bool = True):
         del train
         x = x.reshape(x.shape[0], -1).astype(self.dtype)
-        h = jnp.maximum(TorchDense(self.hidden, dtype=self.dtype)(x), 0.0)
+        h = relu(TorchDense(self.hidden, dtype=self.dtype)(x))
         return TorchDense(self.num_classes, dtype=self.dtype)(h).astype(jnp.float32)

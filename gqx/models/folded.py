@@ -213,12 +213,84 @@ def grouped_batch_stats(x, users: int) -> Tuple[jax.Array, jax.Array]:
 def grouped_batch_norm(x, users: int, scale, bias, eps: float = 1e-5):
     """Folded-elementwise BN with per-user statistics.  Returns
     (normalized x, (mean, var)) — stats are (U, C) for running-average
-    updates."""
+    updates.
+
+    The backward runs through a custom VJP (``_gbn``) with the
+    re-associated two-pass BN gradient: one fused reduction pass over
+    (x, dy) producing the per-(user, channel) sums s1 = Σdy and
+    s2 = Σdy·x̂ (shared by dscale, dbias AND the dx formula), then one
+    elementwise pass dx = scale·inv·(dy − s1/n − x̂·s2/n).  Plain
+    autodiff of the forward emits separate reduction chains for
+    dscale/dbias and the dmean/dvar paths that XLA does not CSE (the
+    products differ by where ``inv`` is applied), costing extra full
+    passes over the activation — the dominant "loop fusion" HBM traffic
+    in the resnet50 step trace (PERF.md round 5).  Values agree with
+    autodiff up to float re-association (same analytic derivative).
+    """
+    shape = x.shape
+    c = shape[-1]
+    bshape = (users,) + (1,) * (len(shape) - 1) + (c,)
+    scale_u = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32), bshape).reshape(users, c)
+    bias_u = jnp.broadcast_to(
+        jnp.asarray(bias, jnp.float32), bshape).reshape(users, c)
+    return _gbn(x, scale_u, bias_u, users, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gbn(x, scale, bias, users: int, eps: float):
+    """Core grouped BN on the folded batch; scale/bias are (U, C) f32.
+
+    Forward math is kept op-for-op identical to the pre-custom-VJP
+    version (normalize, then affine) so logits are bit-stable across the
+    change; only the backward is re-associated."""
+    return _gbn_fwd(x, scale, bias, users, eps)[0]
+
+
+def _gbn_fwd(x, scale, bias, users: int, eps: float):
     shape = x.shape
     mean, var = grouped_batch_stats(x.astype(jnp.float32), users)
     xg = x.reshape((users, -1) + shape[1:]).astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps)
     bshape = (users,) + (1,) * (len(shape) - 1) + (shape[-1],)
     y = (xg - mean.reshape(bshape)) * inv.reshape(bshape)
-    y = y * scale + bias
-    return y.reshape(shape).astype(x.dtype), (mean, var)
+    y = y * scale.reshape(bshape) + bias.reshape(bshape)
+    out = (y.reshape(shape).astype(x.dtype), (mean, var))
+    return out, (x, mean, var, inv, scale)
+
+
+def _gbn_bwd(users: int, eps: float, res, ct):
+    x, mean, var, inv, scale = res
+    dy, (dmean_out, dvar_out) = ct
+    shape = x.shape
+    c = shape[-1]
+    bshape = (users,) + (1,) * (len(shape) - 1) + (c,)
+    red_axes = tuple(range(1, len(shape)))  # all but the users axis → (U, C)
+    n = 1
+    for s in shape[:-1]:
+        n *= s
+    n = jnp.float32(n // users)
+
+    xg = x.reshape((users, -1) + shape[1:]).astype(jnp.float32)
+    dyg = dy.reshape((users, -1) + shape[1:]).astype(jnp.float32)
+    xhat = (xg - mean.reshape(bshape)) * inv.reshape(bshape)
+    # pass 1: one fused multi-output reduction over (x, dy)
+    s1 = jnp.sum(dyg, axis=red_axes)          # (U, C) == dbias
+    s2 = jnp.sum(dyg * xhat, axis=red_axes)   # (U, C) == dscale
+    # the var path is clipped to zero where the fast-variance estimate was
+    # clipped (grouped_batch_stats' maximum(0, ·)); x̂≈0 there anyway
+    mask = (var > 0).astype(jnp.float32)
+    # pass 2: elementwise dx (+ the stats-output cotangents, which are
+    # all-zero in training use and algebraically simplified away by XLA):
+    #   dx = scale·inv·dy − (s1·scale·inv − dmean)/n
+    #        + (x − m)·(2·dvar − s2·scale·inv²)·mask/n
+    g1 = scale * inv                                      # (U, C)
+    g2 = (s1 * g1 - dmean_out) / n
+    g5 = mask * (2.0 * dvar_out - s2 * g1 * inv) / n      # (x−m) coefficient
+    dx = g1.reshape(bshape) * dyg - g2.reshape(bshape) \
+        + (xg - mean.reshape(bshape)) * g5.reshape(bshape)
+    dx = dx.reshape(shape).astype(x.dtype)
+    return dx, s2, s1
+
+
+_gbn.defvjp(_gbn_fwd, _gbn_bwd)

@@ -16,11 +16,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gqx.models.common import (
-    SCAN_AXIS_MARKER,
     BatchNorm,
+    SCAN_AXIS_MARKER,
     TorchConv,
     TorchDense,
     avg_pool,
+    relu,
 )
 
 
@@ -35,14 +36,14 @@ class BasicBlock(nn.Module):
         d = self.dtype
         out = TorchConv(self.filters, (3, 3), strides=(self.stride, self.stride), dtype=d)(x)
         out = BatchNorm(d)(out, train)
-        out = jnp.maximum(out, 0.0)
+        out = relu(out)
         out = TorchConv(self.filters, (3, 3), dtype=d)(out)
         out = BatchNorm(d)(out, train)
 
         if self.stride != 1 or x.shape[-1] != self.filters:
             x = TorchConv(self.filters, (1, 1), strides=(self.stride, self.stride), dtype=d)(x)
             x = BatchNorm(d)(x, train)
-        return jnp.maximum(out + x, 0.0)
+        return relu(out + x)
 
 
 class Bottleneck(nn.Module):
@@ -57,16 +58,16 @@ class Bottleneck(nn.Module):
         width = self.filters
         out_ch = self.filters * self.expansion
         out = TorchConv(width, (1, 1), dtype=d)(x)
-        out = jnp.maximum(BatchNorm(d)(out, train), 0.0)
+        out = relu(BatchNorm(d)(out, train))
         out = TorchConv(width, (3, 3), strides=(self.stride, self.stride), dtype=d)(out)
-        out = jnp.maximum(BatchNorm(d)(out, train), 0.0)
+        out = relu(BatchNorm(d)(out, train))
         out = TorchConv(out_ch, (1, 1), dtype=d)(out)
         out = BatchNorm(d)(out, train)
 
         if self.stride != 1 or x.shape[-1] != out_ch:
             x = TorchConv(out_ch, (1, 1), strides=(self.stride, self.stride), dtype=d)(x)
             x = BatchNorm(d)(x, train)
-        return jnp.maximum(out + x, 0.0)
+        return relu(out + x)
 
 
 class _RepeatedBlocks(nn.Module):
@@ -100,7 +101,7 @@ class ResNet(nn.Module):
         d = self.dtype
         x = x.astype(d)
         x = TorchConv(64, (3, 3), dtype=d)(x)
-        x = jnp.maximum(BatchNorm(d)(x, train), 0.0)
+        x = relu(BatchNorm(d)(x, train))
         for i, (filters, blocks) in enumerate(zip((64, 128, 256, 512), self.stage_sizes)):
             stride = 1 if i == 0 else 2
             x = self.block(filters=filters, stride=stride, dtype=d)(x, train)

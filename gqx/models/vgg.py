@@ -10,7 +10,7 @@ from typing import Any, Sequence, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gqx.models.common import BatchNorm, TorchConv, TorchDense, max_pool
+from gqx.models.common import BatchNorm, TorchConv, TorchDense, max_pool, relu
 
 CFG = {
     "VGG11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
@@ -36,7 +36,7 @@ class VGG(nn.Module):
                 x = max_pool(x, 2)
             else:
                 x = TorchConv(int(entry), (3, 3), use_bias=True, dtype=d)(x)
-                x = jnp.maximum(BatchNorm(d)(x, train), 0.0)
+                x = relu(BatchNorm(d)(x, train))
         x = x.reshape(x.shape[0], -1)
         return TorchDense(self.num_classes, dtype=d)(x).astype(jnp.float32)
 

@@ -55,6 +55,23 @@ def _uniform_kernel(key_ref, out_ref):
 
 def _raw_uniform(kd, shape) -> jax.Array:
     n = math.prod(shape)
+    if n % _BC == 0:
+        # exact-shape fast path: emit (n/_BC, _BC) directly — Pallas masks
+        # the final partial row-block, and the row-major reshape to ``shape``
+        # is free (same linear order).  The generic path below pads to a
+        # whole grid and slices, which materializes a full copy of the
+        # stream (~0.45 ms/step on the bench config).  The kept values are
+        # identical to the generic path's (same per-block stream).
+        rows = n // _BC
+        tiles = -(-rows // _BR)
+        out = pl.pallas_call(
+            _uniform_kernel,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec((_BR, _BC), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, _BC), jnp.float32),
+        )(kd)
+        return out.reshape(shape)
     per = _BR * _BC
     tiles = max(1, -(-n // per))
     out = pl.pallas_call(

@@ -27,7 +27,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-STEPS_TIMED = 20
+STEPS_TIMED = 50  # longer window: +-0.5 steps/s run-to-run noise at 20
 
 
 def log(*a):
@@ -100,6 +100,11 @@ def measure_e2e(network: str, use_pallas: bool, quant: str = "hsq") -> float:
     # the only reliable execution barrier.
     float(loss)
     log(f"[{quant}] compile+first step: {time.time()-t0:.1f}s")
+
+    for _ in range(3):  # settle clocks/caches before the timed window
+        key, k = jax.random.split(key)
+        state, loss = train_step(state, x, y, scale, lr, wd, k)
+    float(loss)
 
     t0 = time.time()
     for _ in range(STEPS_TIMED):

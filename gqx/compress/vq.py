@@ -121,8 +121,10 @@ class HSQCompressor(Compressor):
         # more than the kernels themselves (PERF.md round 3, probe_dm).
         # Requires the v4 kernels; the norm quantizer runs directly on the
         # transposed grid with the kernel tail pad as its own segment
-        # (TransposedScalarCompressor docstring).  Wire/mesh paths still use
-        # the m-order API (2-D sigs), so this is sim-hot-path only.
+        # (TransposedScalarCompressor docstring).  The packed mesh path also
+        # ships this layout on TPU (gqx.ops.wire pack_signature
+        # transposed=True); CPU and cross-impl payloads use the canonical
+        # m-order wire.
         self.sig_t = False
         self.norm_compressor_t = None
         if (

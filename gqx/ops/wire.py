@@ -82,7 +82,35 @@ def _unpack_vq_u(comp, wire: Wire):
     return words_to_f32(wire["u_raw"], (comp.M,))
 
 
-def pack_signature(comp, sig) -> Wire:
+def pack_signature(comp, sig, transposed: bool = False) -> Wire:
+    """``transposed=True`` packs an HSQ signature in the kernels' native
+    (B, s_pad) layout (gqx.ops.pallas_hsq4 ``transposed=True``), skipping
+    both m-order conversions on the packed mesh path: the encode's
+    (B, s_pad)->(s_pad, B) minor transpose and the decode's
+    ``_sig_to_transposed`` — each measured several ms/step off roofline
+    (PERF.md round 3/5).  The bit layout is the same little-endian uint32
+    stream, just over the transposed element order (element (blk, s) is
+    m-order row ``s * B + blk``); all devices produce and consume the same
+    order, so cross-device payloads stay consistent.  The payload carries
+    the kernel grid's tail pad (``b * s_pad`` values vs ``M``), a
+    <0.1% size slack over the canonical wire — see
+    :func:`wire_bytes_transposed`."""
+    if transposed:
+        if not getattr(comp, "sig_t", False):
+            raise TypeError(
+                f"transposed wire needs an HSQ compressor with sig_t; got "
+                f"{type(comp).__name__}")
+        b, s_pad = comp._tgeom
+        out = {
+            "codes": pack_uint(
+                sig["codes"].reshape(-1).astype(jnp.uint32), comp.code_bits)
+        }
+        if comp.compressed_norm:
+            inner = _pack_prob_scalar(comp.norm_compressor_t, sig["u"])
+            out.update({f"u_{k}": v for k, v in inner.items()})
+        else:
+            out["u_raw"] = f32_to_words(sig["u"].reshape(-1))
+        return out
     if isinstance(comp, IdenticalCompressor):
         return {"raw": f32_to_words(sig["vec"].reshape(-1))}
     if isinstance(comp, SignSGDCompressor):
@@ -127,7 +155,23 @@ def pack_signature(comp, sig) -> Wire:
     raise TypeError(type(comp))
 
 
-def unpack_signature(comp, wire: Wire):
+def unpack_signature(comp, wire: Wire, transposed: bool = False):
+    if transposed:
+        from gqx.compress.api import code_dtype
+
+        if not getattr(comp, "sig_t", False):
+            raise TypeError(
+                f"transposed wire needs an HSQ compressor with sig_t; got "
+                f"{type(comp).__name__}")
+        b, s_pad = comp._tgeom
+        codes = unpack_uint(wire["codes"], comp.code_bits, b * s_pad)
+        sig = {"codes": codes.astype(code_dtype(comp.code_bits)).reshape(b, s_pad)}
+        if comp.compressed_norm:
+            inner = {k[2:]: v for k, v in wire.items() if k.startswith("u_")}
+            sig["u"] = _unpack_prob_scalar(comp.norm_compressor_t, inner)
+        else:
+            sig["u"] = words_to_f32(wire["u_raw"], (b, s_pad))
+        return sig
     if isinstance(comp, IdenticalCompressor):
         return {"vec": words_to_f32(wire["raw"], comp.shape)}
     if isinstance(comp, SignSGDCompressor):
@@ -171,6 +215,22 @@ def unpack_signature(comp, wire: Wire):
             "signs": trits - 1.0,
         }
     raise TypeError(type(comp))
+
+
+def wire_bytes_transposed(comp) -> int:
+    """Exact payload bytes for the transposed HSQ wire (pack_signature
+    ``transposed=True``): the canonical encoding over ``b * s_pad`` grid
+    elements (M real + kernel tail pad) plus one extra bounds segment for
+    the pad."""
+    assert getattr(comp, "sig_t", False), type(comp)
+    b, s_pad = comp._tgeom
+    n = b * s_pad
+    if comp.compressed_norm:
+        nt = comp.norm_compressor_t
+        u_bytes = 4 * (2 * nt.n_segments + packed_words(n, _level_bits(nt)))
+    else:
+        u_bytes = 4 * n
+    return 4 * packed_words(n, comp.code_bits) + u_bytes
 
 
 def wire_bytes(comp) -> int:

@@ -107,15 +107,22 @@ def _ps_unit_logical(comp, g_local, e_local, scale, keys, axis):
 def _ps_unit_packed(comp, g_local, e_local, scale, keys, axis):
     """Wire-true PS: all-gather packed payloads, decode all users, mean.
 
-    Encode is ONE batched kernel call in the canonical m-order layout
-    (``compress_batch_m`` — the packed wire format is defined over m-order
-    signatures); only pack/unpack of the compact signature is vmapped per
-    user (cheap after the periodic pack_bits formulation, gqx.ops.pack)."""
+    Encode is ONE batched kernel call; only pack/unpack of the compact
+    signature is vmapped per user (cheap after the periodic pack_bits
+    formulation, gqx.ops.pack).  On TPU the HSQ unit ships the TRANSPOSED
+    wire (pack_signature ``transposed=True``): the kernel's native
+    signature layout goes straight onto the wire, skipping the m-order
+    conversions on both sides — this also makes the packed mesh path use
+    the exact same quantization grid as the sim backend (the transposed
+    norm quantizer).  Other compressors (and the CPU fallback) use the
+    canonical m-order wire (``compress_batch_m``)."""
     from gqx.ops.wire import pack_signature, unpack_signature
 
+    sig_t = bool(getattr(comp, "sig_t", False))
     g_enc = g_local + scale * e_local if e_local is not None else g_local
-    sig = comp.compress_batch_m(g_enc, keys)
-    wire = jax.vmap(lambda s: pack_signature(comp, s))(sig)
+    sig = (comp.compress_batch(g_enc, keys) if sig_t
+           else comp.compress_batch_m(g_enc, keys))
+    wire = jax.vmap(lambda s: pack_signature(comp, s, transposed=sig_t))(sig)
     e_new = None
     if e_local is not None:
         e_new = g_enc - comp.decompress_batch(sig)
@@ -124,7 +131,8 @@ def _ps_unit_packed(comp, g_local, e_local, scale, keys, axis):
     gathered = jax.tree.map(
         lambda w: jax.lax.all_gather(w, axis).reshape((-1,) + w.shape[1:]), wire
     )
-    sig_all = jax.vmap(lambda wu: unpack_signature(comp, wu))(gathered)
+    sig_all = jax.vmap(
+        lambda wu: unpack_signature(comp, wu, transposed=sig_t))(gathered)
     return comp.decode_mean(sig_all), e_new
 
 

@@ -184,3 +184,56 @@ def test_maurey_wire_sign_zero_roundtrip():
         # decompress of sign-0 entries contributes exactly 0
         dec = comp.decompress(back)
         assert dec.shape == (2048,)
+
+
+@pytest.mark.parametrize("n_bit", [6, 32])
+def test_transposed_wire_roundtrip(n_bit, rng):
+    """The transposed HSQ wire (pack_signature transposed=True — the packed
+    mesh path's TPU layout) is a bit-exact inverse pair over the kernels'
+    native (B, s_pad) signature layout, for both quantized and raw norms."""
+    from gqx.compress.vq import HSQCompressor
+    from gqx.ops.wire import wire_bytes_transposed
+
+    size = 16 * 4096
+    comp = HSQCompressor(size, (size,), c_dim=16, k_bit=8, n_bit=n_bit,
+                         use_pallas=True, passes=1,
+                         norm_segment_sizes=(3000, size // 16 - 3000))
+    assert comp.sig_t, "transposed layout must be available for this geometry"
+    b, s_pad = comp._tgeom
+    codes = jnp.asarray(rng.integers(0, 256, size=(b, s_pad)), jnp.uint8)
+    if n_bit == 32:
+        u = jnp.asarray(rng.standard_normal((b, s_pad)), jnp.float32)
+    else:
+        nt = comp.norm_compressor_t
+        u = {
+            "lower": jnp.asarray(rng.standard_normal(nt.n_segments), jnp.float32),
+            "upper": jnp.asarray(rng.standard_normal(nt.n_segments), jnp.float32),
+            "l": jnp.asarray(
+                rng.integers(0, 2 ** n_bit + 1, size=(b, s_pad)), jnp.int32),
+        }
+    sig = {"codes": codes, "u": u}
+    wire = pack_signature(comp, sig, transposed=True)
+    assert all(w.dtype == jnp.uint32 for w in wire.values())
+    assert sum(4 * w.size for w in wire.values()) == wire_bytes_transposed(comp)
+    back = unpack_signature(comp, wire, transposed=True)
+    np.testing.assert_array_equal(np.asarray(back["codes"]), np.asarray(codes))
+    if n_bit == 32:
+        np.testing.assert_array_equal(np.asarray(back["u"]), np.asarray(u))
+    else:
+        for k in ("lower", "upper", "l"):
+            np.testing.assert_array_equal(np.asarray(back["u"][k]),
+                                          np.asarray(u[k]))
+
+    # batched (stacked-users) roundtrip, as the mesh path vmaps it
+    sigs = jax.tree.map(lambda a: jnp.stack([a, a]), sig)
+    wires = jax.vmap(lambda s: pack_signature(comp, s, transposed=True))(sigs)
+    backs = jax.vmap(
+        lambda w: unpack_signature(comp, w, transposed=True))(wires)
+    for a, b_ in zip(jax.tree.leaves(sigs), jax.tree.leaves(backs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # non-sig_t compressors refuse the transposed layout
+    qs = make_compressor("qsgd", 1024, (1024,), GQConfig(
+        network="fcn", dataset="synthetic", quantizer="qsgd"))
+    with pytest.raises(TypeError):
+        pack_signature(qs, {}, transposed=True)
